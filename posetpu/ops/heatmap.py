@@ -1,0 +1,142 @@
+"""Heatmap rendering, decoding and flip utilities — all batched XLA ops.
+
+The reference renders Gaussian targets with a per-joint Python loop and window
+arithmetic (lib/dataset/joints_dataset_compatible.py:207-253) and decodes with
+numpy argmax + a per-(sample, joint) host loop for the quarter-pixel offset
+(lib/core/inference.py:19-75). Here both are single fused tensor expressions
+over [..., J, H, W] — the forms TPU/VPU want.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def render_gaussian_heatmaps(joints, joints_vis, heatmap_size, image_size, sigma):
+    """Gaussian target heatmaps with the reference's integer-quantised centres.
+
+    Matches joints_dataset_compatible.py:207-253 bit-for-bit in structure:
+    the centre is ``floor(x/stride + 0.5)``, the Gaussian is evaluated on the
+    un-clipped pixel grid (exp(-(d^2)/(2 sigma^2))), support is clipped to a
+    ±3*sigma window, and a joint whose window misses the map entirely gets
+    weight 0.
+
+    Args:
+        joints: [..., J, 2] joint coords in input-image pixels.
+        joints_vis: [..., J] visibility (0/1).
+        heatmap_size: (W, H) static.
+        image_size: (W, H) static.
+        sigma: Gaussian sigma in heatmap pixels (static).
+
+    Returns:
+        target: [..., J, H, W] float32; weight: [..., J] float32.
+    """
+    joints = jnp.asarray(joints, jnp.float32)
+    vis = jnp.asarray(joints_vis, jnp.float32)
+    hw, hh = int(heatmap_size[0]), int(heatmap_size[1])
+    iw, ih = float(image_size[0]), float(image_size[1])
+    tmp = 3 * sigma
+
+    stride = jnp.array([iw / hw, ih / hh], jnp.float32)
+    mu = jnp.trunc(joints / stride + 0.5)  # reference: int() truncates toward 0
+    mux, muy = mu[..., 0], mu[..., 1]
+
+    # window validity: ul = mu - tmp, br = mu + tmp + 1 must intersect the map
+    inside = (
+        (mux - tmp < hw) & (muy - tmp < hh) & (mux + tmp + 1 >= 1) & (muy + tmp + 1 >= 1)
+    )
+    weight = vis * inside.astype(jnp.float32)
+
+    xs = jax.lax.broadcasted_iota(jnp.float32, (hh, hw), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (hh, hw), 0)
+    dx = xs - mux[..., None, None]
+    dy = ys - muy[..., None, None]
+    g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
+    support = (jnp.abs(dx) <= tmp) & (jnp.abs(dy) <= tmp)
+    target = g * support.astype(jnp.float32) * (weight[..., None, None] > 0.5)
+    return target, weight
+
+
+def max_preds(heatmaps):
+    """Argmax decode: coords (x, y) + max value, masked where max <= 0
+    (reference: get_max_preds, inference.py:19-47). heatmaps: [..., H, W]."""
+    h, w = heatmaps.shape[-2:]
+    flat = heatmaps.reshape(heatmaps.shape[:-2] + (h * w,))
+    idx = jnp.argmax(flat, axis=-1)
+    maxvals = jnp.max(flat, axis=-1)
+    x = (idx % w).astype(jnp.float32)
+    y = (idx // w).astype(jnp.float32)
+    coords = jnp.stack([x, y], axis=-1)
+    coords = coords * (maxvals > 0.0).astype(jnp.float32)[..., None]
+    return coords, maxvals
+
+
+def decode_heatmaps(heatmaps, post_process: bool = True):
+    """Argmax + quarter-pixel offset decode in heatmap coordinates.
+
+    Replaces the host double loop of get_final_preds (inference.py:57-66):
+    where the peak is strictly inside [2, W-2) x [2, H-2), nudge 0.25 px
+    toward the larger neighbour along each axis.
+
+    Returns coords [..., 2] (x, y) and maxvals [...].
+    """
+    coords, maxvals = max_preds(heatmaps)
+    if not post_process:
+        return coords, maxvals
+
+    h, w = heatmaps.shape[-2:]
+    px = coords[..., 0].astype(jnp.int32)
+    py = coords[..., 1].astype(jnp.int32)
+
+    def at(dy, dx):
+        yy = jnp.clip(py + dy, 0, h - 1)
+        xx = jnp.clip(px + dx, 0, w - 1)
+        return jnp.take_along_axis(
+            heatmaps.reshape(heatmaps.shape[:-2] + (h * w,)),
+            (yy * w + xx)[..., None],
+            axis=-1,
+        )[..., 0]
+
+    diff_x = at(0, 1) - at(0, -1)
+    diff_y = at(1, 0) - at(-1, 0)
+    ok = (px > 1) & (px < w - 1) & (py > 1) & (py < h - 1)
+    offs = 0.25 * jnp.stack([jnp.sign(diff_x), jnp.sign(diff_y)], axis=-1)
+    return coords + offs * ok.astype(jnp.float32)[..., None], maxvals
+
+
+def flip_back(heatmaps, flip_pairs):
+    """Un-flip heatmaps from a horizontally flipped input: reverse the W axis
+    and swap left/right channels (reference: flip_back_th, transforms.py:33-47).
+
+    heatmaps: [..., J, H, W]; flip_pairs: list of (a, b) joint index pairs.
+    """
+    j = heatmaps.shape[-3]
+    order = list(range(j))
+    for a, b in flip_pairs:
+        order[a], order[b] = order[b], order[a]
+    out = jnp.flip(heatmaps, axis=-1)
+    return jnp.take(out, jnp.array(order), axis=-3)
+
+
+def shift_heatmap_right(heatmaps):
+    """Shift heatmap one pixel right, duplicating the first column — the
+    flip-test alignment trick (reference: function.py:575-580)."""
+    return jnp.concatenate([heatmaps[..., :, :1], heatmaps[..., :, :-1]], axis=-1)
+
+
+def soft_argmax_2d(heatmaps, temperature: float = 100.0):
+    """Differentiable expected-coordinate decode (integral pose regression).
+
+    Matches generate_integral_preds_2d_th (lib/utils/transforms.py:149-171):
+    scores are scaled by ``temperature`` then softmaxed over H*W; returns the
+    (x, y) expectation. heatmaps: [..., H, W] -> [..., 2].
+    """
+    h, w = heatmaps.shape[-2:]
+    flat = heatmaps.reshape(heatmaps.shape[:-2] + (h * w,)) * temperature
+    p = jax.nn.softmax(flat, axis=-1).reshape(heatmaps.shape[:-2] + (h, w))
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    ex = jnp.einsum("...hw,w->...", p, xs, precision="highest")
+    ey = jnp.einsum("...hw,h->...", p, ys, precision="highest")
+    return jnp.stack([ex, ey], axis=-1)
