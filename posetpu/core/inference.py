@@ -1,0 +1,50 @@
+"""In-graph inference pipeline pieces: fuse routing, flip-test merge, final
+predictions in source-image coordinates.
+
+The reference's ``fuse_routing`` mixes per *sample* in a Python loop
+(function.py:33-45); here it is a masked lerp. The flip-test block
+(function.py:567-583) becomes a pure function over the second forward's
+heatmaps. ``get_final_preds`` (inference.py:50-75) is the decode + inverse
+affine, fully batched.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from posetpu.ops.affine import transform_preds
+from posetpu.ops.heatmap import decode_heatmaps, flip_back, shift_heatmap_right
+
+
+def fuse_routing(raw, fused, is_h36m_mask, enabled: bool = True):
+    """Blend ``3/5 * fused + 2/5 * raw`` for h36m samples, raw otherwise
+    (function.py:33-45). raw/fused: [N, V, h, w, J]; is_h36m_mask: [N]."""
+    if fused is None or not enabled:
+        return raw
+    m = is_h36m_mask.astype(raw.dtype)[:, None, None, None, None]
+    return (0.6 * fused + 0.4 * raw) * m + raw * (1.0 - m)
+
+
+def flip_test_merge(output, output_flipped, flip_pairs, shift: bool = False):
+    """Average the straight output with the un-flipped flipped-input output
+    (function.py:567-583). Heatmaps [..., h, w, J] — flip_back wants the
+    joint axis third-from-last, so we move it around the call."""
+    of = jnp.moveaxis(output_flipped, -1, -3)
+    of = flip_back(of, flip_pairs)
+    if shift:
+        of = shift_heatmap_right(of)
+    of = jnp.moveaxis(of, -3, -1)
+    return 0.5 * (output + of)
+
+
+def final_preds(heatmaps, center, scale, post_process: bool = True):
+    """Decode heatmaps and map to source-image pixels (get_final_preds).
+
+    heatmaps: [..., h, w, J]; center/scale: [..., 2] matching the leading
+    dims. Returns (preds [..., J, 2], maxvals [..., J]).
+    """
+    h, w = heatmaps.shape[-3:-1]
+    hm = jnp.moveaxis(heatmaps, -1, -3)  # [..., J, h, w]
+    coords, maxvals = decode_heatmaps(hm, post_process=post_process)
+    preds = transform_preds(coords, center, scale, (w, h))
+    return preds, maxvals
