@@ -39,26 +39,45 @@ VIEW_PAIRS = tuple(itertools.combinations(range(4), 2))  # lexicographic, like
 # the reference's itertools.combinations over visible views (triangulate.py:142)
 
 
-def _dlt_normal_matrix(yn, P, w):
-    """Accumulate A^T A for DLT rows  x*P[2]-P[0], y*P[2]-P[1]  over views.
+def _solve3(G, r):
+    """Closed-form 3x3 symmetric solve G x = r via the adjugate — pure
+    arithmetic the VPU eats; batched LAPACK-style eigh/solve on tiny matrices
+    is catastrophically slow on TPU (measured 13x pipeline slowdown)."""
+    a, b, c = G[..., 0, 0], G[..., 0, 1], G[..., 0, 2]
+    d, e, f = G[..., 1, 1], G[..., 1, 2], G[..., 2, 2]
+    # cofactors of the symmetric matrix [[a, b, c], [b, d, e], [c, e, f]]
+    ca = d * f - e * e
+    cb = c * e - b * f
+    cc = b * e - c * d
+    cd = a * f - c * c
+    ce = b * c - a * e
+    cf = a * d - b * b
+    det = a * ca + b * cb + c * cc
+    inv_det = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)
+    x0 = ca * r[..., 0] + cb * r[..., 1] + cc * r[..., 2]
+    x1 = cb * r[..., 0] + cd * r[..., 1] + ce * r[..., 2]
+    x2 = cc * r[..., 0] + ce * r[..., 1] + cf * r[..., 2]
+    return jnp.stack([x0, x1, x2], axis=-1) * inv_det[..., None]
 
-    yn: [V, 2] normalised coords; P: [V, 3, 4]; w: [V] row weights (0/1).
-    Returns [4, 4].
+
+def _dlt_solve(yn, P, w):
+    """Inhomogeneous DLT: rows  x*P[2]-P[0], y*P[2]-P[1]  give A [X; 1] = 0;
+    fixing the homogeneous coordinate to 1 (points at infinity cannot occur
+    for triangulated joints) turns it into the 3x3 weighted least squares
+    M X = -b with M = A[:, :3], b = A[:, 3].
+
+    yn: [V, 2] normalised coords; P: [V, 3, 4]; w: [V] weights (0/1).
+    Returns [3] metre-scaled point.
     """
     r0 = yn[:, 0:1] * P[:, 2, :] - P[:, 0, :]  # [V, 4]
     r1 = yn[:, 1:2] * P[:, 2, :] - P[:, 1, :]  # [V, 4]
     rows = jnp.concatenate([r0, r1], axis=0)  # [2V, 4]
     ww = jnp.concatenate([w, w], axis=0)  # [2V]
-    return jnp.einsum("ri,rj,r->ij", rows, rows, ww, precision="highest")
-
-
-def _solve_dlt(G):
-    """Smallest-eigenvector homogeneous solve; returns [3] world point (mm)."""
-    _, vecs = jnp.linalg.eigh(G)
-    v = vecs[:, 0]
-    # guard: w component can be ~0 for degenerate input; reference leaves zeros
-    w = jnp.where(jnp.abs(v[3]) > 1e-12, v[3], 1.0)
-    return v[:3] / w * _T_SCALE
+    m = rows[:, :3]
+    b = rows[:, 3]
+    G = jnp.einsum("ri,rj,r->ij", m, m, ww, precision="highest")
+    r = -jnp.einsum("ri,r,r->i", m, b, ww, precision="highest")
+    return _solve3(G, r)
 
 
 def triangulate_points(poses2d, cams: CameraParams, joints_vis=None, no_distortion=False):
@@ -79,14 +98,10 @@ def triangulate_points(poses2d, cams: CameraParams, joints_vis=None, no_distorti
     ).reshape(g, v, j, 2)
     P = extrinsic_matrix(cams, t_scale=_T_SCALE)  # [G, V, 3, 4]
 
-    def per_joint(yn_j, w_j, P_g):
-        Gm = _dlt_normal_matrix(yn_j, P_g, w_j)
-        return _solve_dlt(Gm)
-
     def per_group(yn_g, w_g, P_g):
-        return jax.vmap(per_joint, in_axes=(1, 1, None))(yn_g, w_g, P_g)
+        return jax.vmap(_dlt_solve, in_axes=(1, None, 1))(yn_g, P_g, w_g)
 
-    pts = jax.vmap(per_group)(yn, joints_vis, P)  # [G, J, 3]
+    pts = jax.vmap(per_group)(yn, joints_vis, P) * _T_SCALE  # [G, J, 3]
     enough = jnp.sum(joints_vis, axis=1) >= 2  # [G, J]
     return pts * enough[..., None].astype(pts.dtype)
 

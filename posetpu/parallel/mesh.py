@@ -1,0 +1,58 @@
+"""Device mesh + sharding helpers.
+
+The reference scales with one-process-per-GPU NCCL DDP (run/pose2d/train.py:
+129-225). The TPU-native equivalent is a 1-D ``data`` mesh over ICI with
+batch-sharded inputs and replicated parameters; the gradient allreduce is
+implicit in jit's partitioning, and eval gathers ride the same mesh
+(SURVEY.md rows 24-26: the reference has data parallelism only — there is no
+TP/PP/SP/EP to reproduce, so the mesh stays 1-D by design).
+
+Multi-host: call :func:`initialize_distributed` first (maps to
+``jax.distributed.initialize``), then the same code runs unchanged — the mesh
+simply spans all processes' devices.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host rendezvous (the NCCL init_process_group equivalent,
+    train.py:133-135). No-op on a single host with no coordinator given."""
+    if coordinator is None:
+        return
+    jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def data_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D ('data',) mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding for any pytree leaf."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch pytree onto the mesh, sharded on axis 0."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate params/state across the mesh."""
+    r = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, r), tree)

@@ -1,0 +1,76 @@
+"""Orbax checkpointing with the reference's three roles.
+
+Mirrors lib/utils/utils.py:87-116 + run/pose2d/train.py:368-397:
+(a) per-epoch ``checkpoint`` with model+optimizer state per component and
+    epoch/perf metadata (cluster auto-resume);
+(b) ``model_best`` tracking by perf indicator;
+(c) ``final_state`` at the end of training.
+
+The reference's ``load_checkpoint`` has an undefined-variable bug
+(utils.py:94); the intended resume behaviour is implemented here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _as_abs(path: str) -> str:
+    return os.path.abspath(path)
+
+
+class CheckpointManager:
+    """Save/restore dicts of TrainState-like pytrees."""
+
+    def __init__(self, directory: str):
+        self.directory = _as_abs(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    # -------------------------------------------------------------- save
+
+    def save(self, name: str, states: dict, meta: dict | None = None) -> str:
+        path = os.path.join(self.directory, name)
+        self._ckpt.save(path, states, force=True)
+        self._ckpt.wait_until_finished()
+        with open(os.path.join(self.directory, f"{name}_meta.json"), "w") as f:
+            json.dump(meta or {}, f)
+        return path
+
+    def save_epoch(self, epoch: int, states: dict, perf: float,
+                   is_best: bool) -> None:
+        """The per-epoch checkpoint + best tracking (train.py:368-390)."""
+        meta = {"epoch": epoch, "perf": float(perf)}
+        self.save("checkpoint", states, meta)
+        if is_best:
+            self.save("model_best", states, meta)
+
+    def save_final(self, states: dict) -> None:
+        """final_state.pth.tar equivalent (train.py:393-397)."""
+        self.save("final_state", states)
+
+    # ----------------------------------------------------------- restore
+
+    def exists(self, name: str = "checkpoint") -> bool:
+        return os.path.isdir(os.path.join(self.directory, name))
+
+    def restore(self, name: str, template: dict | None = None) -> tuple[dict, dict]:
+        """Restore a checkpoint. With ``template`` (a states dict of pytrees),
+        leaves come back with the template's structure/dtypes; without one the
+        raw saved tree is returned. Returns (states, meta)."""
+        path = os.path.join(self.directory, name)
+        if template is not None:
+            abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+            states = self._ckpt.restore(path, abstract)
+        else:
+            states = self._ckpt.restore(path)
+        meta_path = os.path.join(self.directory, f"{name}_meta.json")
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        return states, meta
