@@ -1,0 +1,170 @@
+"""Training entry point — the run/pose2d/train.py equivalent.
+
+    python -m posetpu.cli.train --cfg experiments/mixed/resnet50/...yaml \
+        [--pseudo-path X.h5] [--no-distortion] [--epochs N]
+
+Differences from the reference by design: no mp.spawn/NCCL — the same
+process drives every local device through a 1-D data mesh (multi-host via
+``--coordinator``); checkpoints are Orbax; BatchNorm is global-batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def parse_args():
+    from posetpu.cli.common import base_parser
+
+    p = base_parser("Train multi-view pose network")
+    p.add_argument("--pseudo-path", default="", help="pseudo label h5")
+    p.add_argument("--no-distortion", action="store_true")
+    p.add_argument("--epochs", type=int, default=0, help="override END_EPOCH")
+    p.add_argument("--batch", type=int, default=0, help="override batch size")
+    p.add_argument("--coordinator", default="", help="multi-host coordinator addr")
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--f32", action="store_true", help="disable bf16 compute")
+    return p.parse_args()
+
+
+def build_fund_extra(cfg, dataset):
+    """Per-batch fundamental-matrix gather: loads the reference pickle bank if
+    present, otherwise builds the exact bank from the dataset's calibration
+    (better than the reference's cv2-fitted F — no data needed)."""
+    import os
+
+    from posetpu.geometry.fundamental import (
+        build_fundamental_bank,
+        load_reference_bank,
+    )
+    from posetpu.geometry.cameras import CameraParams
+
+    pkl = os.path.join(cfg.DATASET.ROOT, "testdata", "fundamental_matrix.pkl")
+    if os.path.exists(pkl):
+        bank = load_reference_bank(pkl)
+    else:
+        h36m = getattr(dataset, "h36m", dataset)
+        cams_by_subject = {}
+        for items in h36m.grouping:
+            rec = h36m.db[items[0]]
+            subj = rec["subject"]
+            if subj not in cams_by_subject:
+                cams = [
+                    CameraParams.from_dict(h36m.db[i]["camera"]) for i in items
+                ]
+                cams_by_subject[subj] = CameraParams.stack(cams)
+        bank = build_fundamental_bank(cams_by_subject)
+    default_subj = next(iter(bank))[0]
+
+    from posetpu.geometry.fundamental import bank_to_batch
+
+    def extra(host_batch, device_batch):
+        subjects = [s if s >= 0 else default_subj for s in host_batch["subject"]]
+        device_batch["fmats"] = bank_to_batch(bank, subjects)
+        return device_batch
+
+    return extra
+
+
+def main():
+    args = parse_args()
+    from posetpu.cli.common import build_model, load_cfg, load_model_variables
+    from posetpu.data.loader import GroupLoader
+    from posetpu.data.prepare import make_prepare_fn
+    from posetpu.data.registry import get_dataset
+    from posetpu.parallel.mesh import data_mesh, initialize_distributed, replicate
+    from posetpu.train.checkpoint import CheckpointManager
+    from posetpu.train.loop import train_epoch, validate
+    from posetpu.train.optim import make_optimizer
+    from posetpu.train.step import init_train_state, make_eval_step, make_train_step
+    from posetpu.train.state import TrainState
+    from posetpu.utils.logging import ScalarWriter, create_logger
+
+    cfg = load_cfg(args)
+    if args.epochs:
+        cfg.TRAIN.END_EPOCH = args.epochs
+    if args.batch:
+        cfg.TRAIN.BATCH_SIZE = args.batch
+
+    initialize_distributed(
+        args.coordinator or None, args.num_processes or None, args.process_id
+    )
+    import jax
+
+    logger, output_dir, tb_dir = create_logger(cfg, args.cfg, "train")
+    writer = ScalarWriter(tb_dir)
+    logger.info(f"devices: {jax.devices()}")
+
+    train_ds = get_dataset(cfg.DATASET.TRAIN_DATASET)(
+        cfg, cfg.DATASET.TRAIN_SUBSET, True,
+        pseudo_label_path=args.pseudo_path or cfg.DATASET.PSEUDO_LABEL_PATH,
+        no_distortion=args.no_distortion or cfg.DATASET.NO_DISTORTION,
+    )
+    test_ds = get_dataset(cfg.DATASET.TEST_DATASET)(
+        cfg, cfg.DATASET.TEST_SUBSET, False,
+        no_distortion=args.no_distortion or cfg.DATASET.NO_DISTORTION,
+    )
+    n_proc = jax.process_count()
+    train_loader = GroupLoader(
+        train_ds, cfg.TRAIN.BATCH_SIZE, shuffle=cfg.TRAIN.SHUFFLE,
+        num_shards=n_proc, shard_index=jax.process_index(),
+    )
+    test_loader = GroupLoader(
+        test_ds, cfg.TEST.BATCH_SIZE, shuffle=False, drop_last=False
+    )
+    logger.info(f"train groups: {len(train_ds)}, test groups: {len(test_ds)}")
+
+    model = build_model(cfg, bf16=not args.f32)
+    tx = make_optimizer(cfg, steps_per_epoch=max(len(train_loader), 1))
+    train_step = make_train_step(model, cfg, tx)
+    eval_step = make_eval_step(model, cfg, flip_pairs=train_ds.flip_pairs)
+    prepare = make_prepare_fn(cfg)
+
+    sample = prepare(next(iter(train_loader)))
+    state = init_train_state(model, cfg, tx, sample)
+
+    # warm start / resume (train.py:250-286)
+    ckpt = CheckpointManager(output_dir)
+    begin_epoch = cfg.TRAIN.BEGIN_EPOCH
+    if cfg.TRAIN.RESUME and cfg.TRAIN.RESUME_PATH:
+        variables = load_model_variables(
+            cfg.TRAIN.RESUME_PATH, drop_aggre=not cfg.NETWORK.AGGRE
+        )
+        state = TrainState(
+            variables["params"], variables["batch_stats"], state.opt_state, 0
+        )
+        logger.info(f"=> warm start from {cfg.TRAIN.RESUME_PATH}")
+    if cfg.TRAIN.ON_SERVER_CLUSTER and ckpt.exists("checkpoint"):
+        restored, meta = ckpt.restore("checkpoint", {"base_model": state})
+        state = restored["base_model"]
+        begin_epoch = int(meta.get("epoch", 0))
+        logger.info(f"=> auto-resume at epoch {begin_epoch}")
+
+    extra = build_fund_extra(cfg, train_ds) if cfg.LOSS.USE_FUNDAMENTAL_LOSS else None
+
+    mesh = data_mesh()
+    best_perf = -1.0
+    with mesh:
+        state = replicate(state, mesh)
+        for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
+            state = train_epoch(
+                cfg, train_loader, prepare, train_step, state, epoch,
+                logger=logger, writer=writer, extra_batch_fn=extra,
+            )
+            if jax.process_index() == 0:
+                perf, _, _, _ = validate(
+                    cfg, test_loader, test_ds, eval_step, state.variables,
+                    output_dir=output_dir, logger=logger,
+                )
+                writer.add_scalar("valid_perf", perf, epoch)
+                is_best = perf > best_perf
+                best_perf = max(best_perf, perf)
+                ckpt.save_epoch(epoch + 1, {"base_model": state}, perf, is_best)
+    if jax.process_index() == 0:
+        ckpt.save_final({"base_model": state})
+        logger.info(f"done; best perf {best_perf:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Evaluation entry point — the run/pose2d/valid.py equivalent: forward the
+TEST (or train) set, dump the heatmap/location H5 interchange file, print the
+PCKh table.
+
+    python -m posetpu.cli.validate --cfg <yaml> --state <ckpt> [--trainset]
+
+``--state`` accepts a reference torch checkpoint (.pth.tar, converted on the
+fly) or an Orbax directory. ``--trainset`` mirrors run/pose2d/
+valid_trainset.py (inference over the unlabeled training set to mint the
+pseudo-label inputs) without its stale-signature bug (valid_trainset.py:170).
+"""
+
+from __future__ import annotations
+
+
+def parse_args():
+    from posetpu.cli.common import base_parser
+
+    p = base_parser("Validate multi-view pose network")
+    p.add_argument("--state", default="", help="checkpoint path (torch or orbax)")
+    p.add_argument("--flip-test", action="store_true")
+    p.add_argument("--post-process", action="store_true")
+    p.add_argument("--shift-heatmap", action="store_true")
+    p.add_argument("--trainset", action="store_true",
+                   help="run on the training subset (pseudo-label inference)")
+    p.add_argument("--no-distortion", action="store_true")
+    p.add_argument("--f32", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from posetpu.cli.common import build_model, load_cfg, load_model_variables
+    from posetpu.data.loader import GroupLoader
+    from posetpu.data.registry import get_dataset
+    from posetpu.train.loop import validate
+    from posetpu.train.step import make_eval_step
+    from posetpu.utils.logging import create_logger
+
+    cfg = load_cfg(args)
+    # valid.py forces the MI/fundamental losses off at eval (valid.py:133-135)
+    cfg.LOSS.USE_FUNDAMENTAL_LOSS = False
+    cfg.LOSS.USE_LOCAL_MI_LOSS = False
+    cfg.LOSS.USE_GLOBAL_MI_LOSS = False
+    if args.flip_test:
+        cfg.TEST.FLIP_TEST = True
+    if args.post_process:
+        cfg.TEST.POST_PROCESS = True
+    if args.shift_heatmap:
+        cfg.TEST.SHIFT_HEATMAP = True
+
+    logger, output_dir, _ = create_logger(cfg, args.cfg, "valid")
+
+    subset = "train" if args.trainset else cfg.DATASET.TEST_SUBSET
+    dataset = get_dataset(cfg.DATASET.TEST_DATASET)(
+        cfg, subset, False,
+        no_distortion=args.no_distortion or cfg.DATASET.NO_DISTORTION,
+    )
+    loader = GroupLoader(dataset, cfg.TEST.BATCH_SIZE, shuffle=False, drop_last=False)
+    logger.info(f"groups: {len(dataset)}")
+
+    model = build_model(cfg, bf16=not args.f32)
+    state_path = args.state or cfg.TEST.STATE or cfg.TEST.MODEL_FILE
+    assert state_path, "--state (or TEST.STATE) required"
+    variables = load_model_variables(state_path, drop_aggre=not cfg.NETWORK.AGGRE)
+
+    eval_step = make_eval_step(model, cfg, flip_pairs=dataset.flip_pairs)
+    perf, name_values, _, _ = validate(
+        cfg, loader, dataset, eval_step, variables,
+        output_dir=output_dir, logger=logger,
+    )
+    logger.info(f"perf indicator: {perf:.4f}")
+    return perf
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Epoch-level train/validate orchestration.
+
+Host-side equivalents of train()/validate() (lib/core/function.py:91-690)
+around the jitted steps: the hot loop is one device call per batch; the host
+only shuffles, prefetches, accumulates eval arrays and writes the H5 dump.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from posetpu.data.base import sorted_union_indices
+from posetpu.data.h5io import save_heatmaps
+from posetpu.data.loader import GroupLoader
+from posetpu.data.prepare import make_prepare_fn
+from posetpu.utils.logging import AverageMeter
+
+
+def train_epoch(cfg, loader: GroupLoader, prepare, train_step, state,
+                epoch: int, logger=None, writer=None, extra_batch_fn=None):
+    """One training epoch. ``extra_batch_fn(host_batch, device_batch)`` lets
+    callers inject per-batch extras (e.g. per-sample fundamental matrices
+    gathered by subject)."""
+    loader.set_epoch(epoch)
+    meters: dict[str, AverageMeter] = {}
+    nviews = 4
+    for i, host_batch in enumerate(loader):
+        batch = prepare(host_batch)
+        if extra_batch_fn is not None:
+            batch = extra_batch_fn(host_batch, batch)
+        state, metrics = train_step(state, batch)
+        if logger is not None and i % cfg.PRINT_FREQ == 0:
+            # fetch scalars only at print frequency — keeps the loop async
+            nimgs = host_batch["images"].shape[0] * nviews
+            parts = []
+            for k in sorted(metrics):
+                v = float(metrics[k])
+                meters.setdefault(k, AverageMeter()).update(v, nimgs)
+                parts.append(f"{k} {meters[k].val:.5f} ({meters[k].avg:.5f})")
+            logger.info(f"Epoch [{epoch}][{i}/{len(loader)}] " + "\t".join(parts))
+            if writer is not None:
+                for k, m in meters.items():
+                    writer.add_scalar(f"train_{k}", m.val, int(state.step))
+    return state
+
+
+def validate(cfg, loader: GroupLoader, dataset, eval_step, variables,
+             output_dir: str | None = None, logger=None):
+    """Full validation pass: per-batch jitted eval, host accumulation in the
+    reference's ``k::nviews`` interleaved layout, H5 dump with the union-joint
+    subset, then ``dataset.evaluate`` (function.py:529-690)."""
+    nviews = 4
+    loss_meter = AverageMeter()
+    acc_meter = AverageMeter()
+    all_preds: list[np.ndarray] = []
+    all_heatmaps: list[np.ndarray] = []
+
+    for host_batch in loader:
+        batch = eval_prepare(cfg, host_batch)
+        out = eval_step(variables, batch)
+        n = host_batch["images"].shape[0]
+        nimgs = n * nviews
+        loss_meter.update(float(out["loss"]), nimgs)
+        acc_meter.update(float(out["acc"]), nimgs)
+
+        preds = np.asarray(out["preds"])  # [N, V, J, 2]
+        maxv = np.asarray(out["maxvals"])[..., None]  # [N, V, J, 1]
+        pred3 = np.concatenate([preds, maxv], axis=-1)
+        hm = np.moveaxis(np.asarray(out["heatmaps"]), -1, 2)  # [N, V, J, h, w]
+        # interleave views like the reference's preds[k::nviews] fill
+        all_preds.append(pred3.reshape(nimgs, *pred3.shape[2:]))
+        all_heatmaps.append(hm.reshape(nimgs, *hm.shape[2:]))
+
+    all_preds = np.concatenate(all_preds) if all_preds else np.zeros((0, 16, 3))
+    all_heatmaps = np.concatenate(all_heatmaps) if all_heatmaps else np.zeros((0, 16, 4, 4))
+
+    u = sorted_union_indices(dataset.u2a_mapping)
+    if output_dir:
+        path = os.path.join(
+            output_dir,
+            f"heatmaps_locations_{dataset.subset}_{dataset.dataset_type}.h5",
+        )
+        save_heatmaps(path, all_heatmaps[:, u], all_preds[:, u], u)
+        if logger:
+            logger.info(f"=> heatmap dump: {path}")
+
+    name_values, perf = dataset.evaluate(all_preds[:, u, :])
+    if logger:
+        names = list(name_values.keys())
+        logger.info("| Arch " + " ".join(f"| {n}" for n in names) + " |")
+        logger.info("|---" * (len(names) + 1) + "|")
+        logger.info(
+            "| posetpu "
+            + " ".join(f"| {v:.3f}" for v in name_values.values())
+            + " |"
+        )
+        logger.info(f"validate: loss {loss_meter.avg:.4f} acc {acc_meter.avg:.3f}")
+    return perf, name_values, all_preds, all_heatmaps
+
+
+_eval_prepare_cache: dict[int, Any] = {}
+
+
+def eval_prepare(cfg, host_batch):
+    key = id(cfg)
+    fn = _eval_prepare_cache.get(key)
+    if fn is None:
+        fn = make_prepare_fn(cfg)
+        _eval_prepare_cache[key] = fn
+    return fn(host_batch)
