@@ -117,27 +117,71 @@ def main():
 
     model = build_model(cfg, bf16=not args.f32)
     tx = make_optimizer(cfg, steps_per_epoch=max(len(train_loader), 1))
-    train_step = make_train_step(model, cfg, tx)
     eval_step = make_eval_step(model, cfg, flip_pairs=train_ds.flip_pairs)
     prepare = make_prepare_fn(cfg)
 
     sample = prepare(next(iter(train_loader)))
     state = init_train_state(model, cfg, tx, sample)
 
+    # adversarial path: any MI/GAN loss enabled switches to the D/G step
+    from posetpu.models.discriminators import build_discriminators
+
+    disc_models = build_discriminators(cfg)
+    adversarial = bool(disc_models)
+    if adversarial:
+        from posetpu.train.gan import (
+            init_discriminator_states,
+            make_adversarial_train_step,
+        )
+
+        tx_disc = {
+            n: make_optimizer(cfg, max(len(train_loader), 1), discriminator=True)
+            for n in disc_models
+        }
+        gan_step = make_adversarial_train_step(model, disc_models, cfg, tx, tx_disc)
+        run_ctx = {"key": jax.random.PRNGKey(cfg.SEED), "parity": 0}
+        state = {
+            "base_model": state,
+            **init_discriminator_states(
+                cfg, disc_models, tx_disc, sample, model, state.variables
+            ),
+        }
+
+        def train_step(states, batch):
+            run_ctx["key"], sub = jax.random.split(run_ctx["key"])
+            return gan_step(states, batch, sub, epoch_parity=run_ctx["parity"])
+    else:
+        run_ctx = {}
+        train_step = make_train_step(model, cfg, tx)
+
     # warm start / resume (train.py:250-286)
+    def base_of(st):
+        return st["base_model"] if adversarial else st
+
+    def states_of(st):
+        return st if adversarial else {"base_model": st}
+
+    def with_base(st, new_base):
+        if adversarial:
+            return {**st, "base_model": new_base}
+        return new_base
+
     ckpt = CheckpointManager(output_dir)
     begin_epoch = cfg.TRAIN.BEGIN_EPOCH
     if cfg.TRAIN.RESUME and cfg.TRAIN.RESUME_PATH:
         variables = load_model_variables(
             cfg.TRAIN.RESUME_PATH, drop_aggre=not cfg.NETWORK.AGGRE
         )
-        state = TrainState(
-            variables["params"], variables["batch_stats"], state.opt_state, 0
+        base = base_of(state)
+        state = with_base(
+            state,
+            TrainState(variables["params"], variables["batch_stats"],
+                       base.opt_state, 0),
         )
         logger.info(f"=> warm start from {cfg.TRAIN.RESUME_PATH}")
     if cfg.TRAIN.ON_SERVER_CLUSTER and ckpt.exists("checkpoint"):
-        restored, meta = ckpt.restore("checkpoint", {"base_model": state})
-        state = restored["base_model"]
+        restored, meta = ckpt.restore("checkpoint", states_of(state))
+        state = restored if adversarial else restored["base_model"]
         begin_epoch = int(meta.get("epoch", 0))
         logger.info(f"=> auto-resume at epoch {begin_epoch}")
 
@@ -145,24 +189,27 @@ def main():
 
     mesh = data_mesh()
     best_perf = -1.0
+
     with mesh:
         state = replicate(state, mesh)
         for epoch in range(begin_epoch, cfg.TRAIN.END_EPOCH):
+            if adversarial:
+                run_ctx["parity"] = epoch % 2
             state = train_epoch(
                 cfg, train_loader, prepare, train_step, state, epoch,
                 logger=logger, writer=writer, extra_batch_fn=extra,
             )
             if jax.process_index() == 0:
                 perf, _, _, _ = validate(
-                    cfg, test_loader, test_ds, eval_step, state.variables,
+                    cfg, test_loader, test_ds, eval_step, base_of(state).variables,
                     output_dir=output_dir, logger=logger,
                 )
                 writer.add_scalar("valid_perf", perf, epoch)
                 is_best = perf > best_perf
                 best_perf = max(best_perf, perf)
-                ckpt.save_epoch(epoch + 1, {"base_model": state}, perf, is_best)
+                ckpt.save_epoch(epoch + 1, states_of(state), perf, is_best)
     if jax.process_index() == 0:
-        ckpt.save_final({"base_model": state})
+        ckpt.save_final(states_of(state))
         logger.info(f"done; best perf {best_perf:.4f}")
 
 

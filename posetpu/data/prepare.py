@@ -52,6 +52,9 @@ def make_prepare_fn(cfg):
             "is_h36m": host_batch["is_h36m"],
             "center": host_batch["center"],
             "scale": host_batch["scale"],
+            # crop-frame joints + visibility feed the MI pair samplers
+            "joints_crop": host_batch["joints_crop"],
+            "joints_vis": host_batch["joints_vis"],
         }
         return out
 

@@ -43,8 +43,9 @@ def train_epoch(cfg, loader: GroupLoader, prepare, train_step, state,
                 parts.append(f"{k} {meters[k].val:.5f} ({meters[k].avg:.5f})")
             logger.info(f"Epoch [{epoch}][{i}/{len(loader)}] " + "\t".join(parts))
             if writer is not None:
+                base = state["base_model"] if isinstance(state, dict) else state
                 for k, m in meters.items():
-                    writer.add_scalar(f"train_{k}", m.val, int(state.step))
+                    writer.add_scalar(f"train_{k}", m.val, int(base.step))
     return state
 
 
