@@ -112,6 +112,14 @@ class JointsDataset:
         self.color_jitter = bool(cfg.DATASET.COLOR_JITTER)
         self.num_joints = 16
         self.flip_pairs = union_flip_pairs()
+        # POSETPU_NATIVE_LOADER=1 enables the C++ decode+warp fast path
+        import os as _os
+
+        self.use_native_loader = _os.environ.get("POSETPU_NATIVE_LOADER", "0") == "1"
+        if self.use_native_loader:
+            from posetpu import native
+
+            self.use_native_loader = native.available()
         self.db: list[dict] = []
         self.grouping: list[list[int]] = []
         self.pseudo_label = False
@@ -155,9 +163,7 @@ class JointsDataset:
         """Process one db record into fixed-shape arrays (the device-free part
         of joints_dataset_compatible.__getitem__:111-201)."""
         rec = self.db[idx]
-        img = zipreader.imread(
-            self._image_path(rec), cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION
-        )
+        path = self._image_path(rec)
 
         if rec["source"] == "h36m" and self.pseudo_label:
             joints = np.array(rec["joints_2d_pseudo"][:, :2], np.float64)
@@ -171,6 +177,7 @@ class JointsDataset:
         rotation = 0.0
 
         aug = self.aug_param_dict.get(rec["source"])
+        do_flip = False
         if self.is_train and rec["source"] != "h36m" and aug is not None:
             sf, rf = aug["scale_factor"], aug["rotation_factor"]
             scale = scale * np.clip(rs.randn() * sf + 1, 1 - sf, 1 + sf)
@@ -179,18 +186,39 @@ class JointsDataset:
                 if rs.random_sample() <= 0.6
                 else 0.0
             )
-            if aug["flip"] and rs.random_sample() <= 0.5:
+            do_flip = bool(aug["flip"] and rs.random_sample() <= 0.5)
+
+        # native fast path (C++ decode+warp): flips need the raw image width
+        # before decode, so flipped samples fall back to the python path
+        warped = None
+        if self.use_native_loader and not do_flip and path.lower().endswith((".jpg", ".jpeg")):
+            trans = _affine_matrix_np(center, scale, rotation, self.image_size)
+            inv = np.linalg.inv(np.vstack([trans, [0, 0, 1]]))[:2]
+            from posetpu import native
+
+            if zipreader.is_zip_path(path):
+                zp, inner = zipreader.split_zip_path(path)
+            else:
+                zp, inner = path, ""
+            warped = native.load_warp(
+                zp, inner, inv, int(self.image_size[1]), int(self.image_size[0])
+            )
+
+        if warped is None:
+            img = zipreader.imread(
+                path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION
+            )
+            if do_flip:
                 img = img[:, ::-1, :]
                 joints, vis = self._flip_joints(joints, vis, img.shape[1])
                 center[0] = img.shape[1] - center[0] - 1
-
-        trans = _affine_matrix_np(center, scale, rotation, self.image_size)
-        warped = cv2.warpAffine(
-            img,
-            trans,
-            (int(self.image_size[0]), int(self.image_size[1])),
-            flags=cv2.INTER_LINEAR,
-        )
+            trans = _affine_matrix_np(center, scale, rotation, self.image_size)
+            warped = cv2.warpAffine(
+                img,
+                trans,
+                (int(self.image_size[0]), int(self.image_size[1])),
+                flags=cv2.INTER_LINEAR,
+            )
         if self.color_jitter:
             warped = _color_jitter(warped, rs)
 
