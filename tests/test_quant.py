@@ -1,0 +1,80 @@
+"""int8 PTQ path: folded-float equivalence and quantized-output fidelity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posetpu.models.pose_resnet import PoseResNet
+from posetpu.models.quant import (
+    calibrate,
+    fold_params,
+    quantize_pose_resnet,
+)
+
+
+def _trained_like_variables(rng, num_layers=18):
+    """Random but sane variables (weights ~0.05, BN stats near identity)."""
+    model = PoseResNet(num_layers=num_layers)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def jitter(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        r = rng.randn(*leaf.shape).astype(np.float32)
+        if name == "kernel":
+            return jnp.asarray(r * 0.05)
+        if name == "scale":
+            return jnp.asarray(1.0 + 0.1 * r)
+        if name == "var":
+            return jnp.asarray(1.0 + 0.05 * np.abs(r))
+        return jnp.asarray(0.1 * r)
+
+    variables = jax.tree_util.tree_map_with_path(jitter, variables)
+    return model, variables
+
+
+def test_folded_float_matches_model(rng):
+    """The calibration-mode (folded float) forward must equal the flax eval
+    forward — validates BN folding and the layer plan."""
+    model, variables = _trained_like_variables(rng)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    ref_hm, _, _ = model.apply(variables, x, train=False)
+
+    from posetpu.models.quant import _Recorder, _forward
+
+    folded = fold_params(model, variables)
+    rec = _Recorder(folded)
+    got = _forward(rec, x, model.num_layers, model.deconv_filters,
+                   model.deconv_kernels)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref_hm), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_int8_forward_close_to_float(rng):
+    model, variables = _trained_like_variables(rng)
+    calib = [rng.randn(2, 64, 64, 3).astype(np.float32) for _ in range(2)]
+    qparams, fwd = quantize_pose_resnet(model, variables, calib)
+
+    x = jnp.asarray(calib[0])
+    ref_hm, _, _ = model.apply(variables, x, train=False)
+    got = fwd(qparams, x)
+    ref = np.asarray(ref_hm)
+    out = np.asarray(got)
+    assert out.shape == ref.shape
+    # int8 fidelity: high correlation and matching peaks
+    corr = np.corrcoef(ref.ravel(), out.ravel())[0, 1]
+    assert corr > 0.99, corr
+    ref_peak = ref.reshape(-1, ref.shape[1] * ref.shape[2], ref.shape[3]).argmax(1)
+    out_peak = out.reshape(-1, ref.shape[1] * ref.shape[2], ref.shape[3]).argmax(1)
+    agree = (ref_peak == out_peak).mean()
+    assert agree > 0.8, agree
+
+
+def test_quant_weights_are_int8(rng):
+    model, variables = _trained_like_variables(rng)
+    calib = [rng.randn(1, 64, 64, 3).astype(np.float32)]
+    qparams, _ = quantize_pose_resnet(model, variables, calib)
+    for name, w in qparams["weights"].items():
+        assert w.dtype == jnp.int8, name
+        assert qparams["w_scales"][name].shape == (w.shape[-1],)
