@@ -110,6 +110,12 @@ def main():
         train_ds, cfg.TRAIN.BATCH_SIZE, shuffle=cfg.TRAIN.SHUFFLE,
         num_shards=n_proc, shard_index=jax.process_index(),
     )
+    if cfg.DATASET.IF_SAMPLE and hasattr(train_ds, "group_weights"):
+        train_loader.set_weights(train_ds.group_weights(cfg))
+        logger.info(
+            f"IF_SAMPLE balancing on: h36m={cfg.DATASET.H36M_WEIGHT} "
+            f"mpii={cfg.DATASET.MPII_WEIGHT}"
+        )
     test_loader = GroupLoader(
         test_ds, cfg.TEST.BATCH_SIZE, shuffle=False, drop_last=False
     )

@@ -62,6 +62,13 @@ class GroupLoader:
         self.prefetch = prefetch
         self.num_threads = num_threads
         self.epoch = 0
+        # per-group sampling weights (the reference's unimplemented IF_SAMPLE
+        # balancing, lib/utils/utils.py:119-126): when set, each epoch draws
+        # len(dataset) groups with replacement proportionally
+        self.weights = None
+
+    def set_weights(self, weights) -> None:
+        self.weights = None if weights is None else np.asarray(weights, np.float64)
 
     def set_epoch(self, epoch: int) -> None:
         """Per-epoch reshuffle seed (DistributedSampler.set_epoch,
@@ -70,10 +77,15 @@ class GroupLoader:
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
-        idx = np.arange(n)
-        if self.shuffle:
+        if self.weights is not None and self.shuffle:
             rs = np.random.RandomState(self.seed + self.epoch)
-            rs.shuffle(idx)
+            p = self.weights / self.weights.sum()
+            idx = rs.choice(n, size=n, replace=True, p=p)
+        else:
+            idx = np.arange(n)
+            if self.shuffle:
+                rs = np.random.RandomState(self.seed + self.epoch)
+                rs.shuffle(idx)
         # pad so every shard sees the same count (DistributedSampler semantics)
         if self.num_shards > 1:
             per = int(np.ceil(n / self.num_shards))

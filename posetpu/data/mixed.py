@@ -45,5 +45,13 @@ class MixedDataset(JointsDataset):
         self.pseudo_label = self.h36m.pseudo_label
         return super().load_record(idx, rs)
 
+    def group_weights(self, cfg) -> np.ndarray:
+        """Per-group sampling weights for batch balancing (H36M_WEIGHT /
+        MPII_WEIGHT — the reference's IF_SAMPLE intent, utils.py:119-126)."""
+        w = np.empty(len(self.grouping), np.float64)
+        w[: len(self.h36m)] = float(cfg.DATASET.H36M_WEIGHT)
+        w[len(self.h36m):] = float(cfg.DATASET.MPII_WEIGHT)
+        return w
+
     def evaluate(self, pred, output_dir=None):
         raise NotImplementedError("evaluate per-source datasets instead")

@@ -25,23 +25,37 @@ def train_epoch(cfg, loader: GroupLoader, prepare, train_step, state,
     """One training epoch. ``extra_batch_fn(host_batch, device_batch)`` lets
     callers inject per-batch extras (e.g. per-sample fundamental matrices
     gathered by subject)."""
+    from posetpu.utils.profiling import StepTimer
+
     loader.set_epoch(epoch)
     meters: dict[str, AverageMeter] = {}
+    timer = StepTimer()
     nviews = 4
     for i, host_batch in enumerate(loader):
+        timer.data_ready()
         batch = prepare(host_batch)
         if extra_batch_fn is not None:
             batch = extra_batch_fn(host_batch, batch)
         state, metrics = train_step(state, batch)
+        nimgs = host_batch["images"].shape[0] * nviews
         if logger is not None and i % cfg.PRINT_FREQ == 0:
-            # fetch scalars only at print frequency — keeps the loop async
-            nimgs = host_batch["images"].shape[0] * nviews
+            # scalar fetch here is also the device sync for the timing
+            timer.step_done(metrics["loss"])
             parts = []
             for k in sorted(metrics):
                 v = float(metrics[k])
                 meters.setdefault(k, AverageMeter()).update(v, nimgs)
                 parts.append(f"{k} {meters[k].val:.5f} ({meters[k].avg:.5f})")
-            logger.info(f"Epoch [{epoch}][{i}/{len(loader)}] " + "\t".join(parts))
+            perf = timer.summary(samples_per_step=nimgs)
+            speed = perf.get("samples_per_s", 0.0)
+            mem = perf.get("bytes_in_use", -1)
+            logger.info(
+                f"Epoch [{epoch}][{i}/{len(loader)}] "
+                f"Speed {speed:.1f} samples/s\tData {perf.get('data_ms', 0):.1f}ms\t"
+                f"Memory {mem}\t" + "\t".join(parts)
+            )
+        else:
+            timer.step_done()
             if writer is not None:
                 base = state["base_model"] if isinstance(state, dict) else state
                 for k, m in meters.items():

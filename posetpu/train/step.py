@@ -149,20 +149,30 @@ def make_eval_step(model, cfg, flip_pairs=None) -> Callable:
 
     @jax.jit
     def eval_step(variables, batch):
-        raw, fused, _, _ = model.apply(variables, batch["images"], train=False)
         is_h36m = batch["is_h36m"]
-        output = (
-            fuse_routing(raw, fused, is_h36m) if (is_aggre and fuse_output) else raw
-        )
         if flip_test:
-            flipped_in = jnp.flip(batch["images"], axis=-2)  # W axis of NHWC
-            raw_f, fused_f, _, _ = model.apply(variables, flipped_in, train=False)
-            out_f = (
-                fuse_routing(raw_f, fused_f, is_h36m)
-                if (is_aggre and fuse_output)
-                else raw_f
+            # fold the flipped copies into the batch: one forward at 2N
+            # groups instead of two at N (keeps the MXU tiles full at small
+            # eval batch sizes; the reference runs a second forward,
+            # function.py:570-571)
+            x = jnp.concatenate(
+                [batch["images"], jnp.flip(batch["images"], axis=-2)], axis=0
             )
-            output = flip_test_merge(output, out_f, pairs, shift=shift)
+            raw2, fused2, _, _ = model.apply(variables, x, train=False)
+            n = batch["images"].shape[0]
+            m2 = jnp.concatenate([is_h36m, is_h36m], axis=0)
+            out2 = (
+                fuse_routing(raw2, fused2, m2) if (is_aggre and fuse_output) else raw2
+            )
+            raw = raw2[:n]
+            output = flip_test_merge(out2[:n], out2[n:], pairs, shift=shift)
+        else:
+            raw, fused, _, _ = model.apply(variables, batch["images"], train=False)
+            output = (
+                fuse_routing(raw, fused, is_h36m)
+                if (is_aggre and fuse_output)
+                else raw
+            )
 
         tw = batch["weight"] if use_tw else None
         loss = joints_mse_loss(raw, batch["target"], tw) * raw.shape[1]

@@ -266,3 +266,17 @@ def test_zipreader(tmp_path):
     np.testing.assert_array_equal(out, img)
     direct = zipreader.imread(str(img_path))
     np.testing.assert_array_equal(direct, img)
+
+
+def test_loader_weighted_sampling(mpii_root):
+    cfg = _cfg(mpii_root)
+    ds = MPIIDataset(cfg, "valid", is_train=False)
+    loader = GroupLoader(ds, 1, shuffle=True, prefetch=0, seed=3)
+    w = np.zeros(len(ds))
+    w[0] = 1.0  # only group 0 can be drawn
+    loader.set_weights(w)
+    idx = loader._indices()
+    assert (idx == 0).all()
+    # weights=None keeps the permutation behaviour
+    loader.set_weights(None)
+    assert sorted(loader._indices().tolist()) == list(range(len(ds)))

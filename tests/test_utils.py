@@ -83,3 +83,19 @@ def test_generate_pseudo_cfg(tmp_path):
     loaded = yaml.safe_load(open(out[0]))
     assert loaded["DATASET"]["PSEUDO_LABEL_PATH"].endswith("0.7_1_pseudo_label.h5")
     assert loaded["TRAIN"]["BATCH_SIZE"] == 4
+
+
+def test_step_timer_and_memory():
+    import time as _time
+
+    from posetpu.utils.profiling import StepTimer, device_memory_stats, sync
+
+    t = StepTimer()
+    t.data_ready()
+    _time.sleep(0.01)
+    t.step_done(jnp.ones(3))
+    s = t.summary(samples_per_step=8)
+    assert s["step_ms"] > 5
+    assert s["samples_per_s"] > 0
+    assert sync(jnp.ones(4)) == 4.0
+    assert isinstance(device_memory_stats(), dict)
