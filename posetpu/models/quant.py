@@ -114,6 +114,51 @@ def fold_params(model, variables) -> dict:
     return folded
 
 
+# ----------------------------------------------------- subpixel deconv
+
+# A k4/s2/p1 transposed conv decomposes into ONE stride-1 2x2 conv producing
+# four phase groups + a depth-to-space interleave: with Wf the stored
+# (pre-flipped) kernel, output phase (a, b) is
+#   y[2i+a, 2j+b] = sum_{u,v in {0,1}} Wf[a+2u, b+2v] . x[i+a-1+u, j+b-1+v]
+# i.e. a 2x2 conv over x padded (1,1), reading window (i+a, j+b). This kills
+# the 4x zero-tap waste of the input-dilated form AND stays on the int8
+# fast path (dilated int8 convs measured no faster than bf16 on v5e).
+
+
+def subpixel_deconv_weights(wf):
+    """[4, 4, I, O] flipped transposed-conv kernel -> [2, 2, I, 4*O] phase
+    bank, groups ordered (a, b) = (0,0), (0,1), (1,0), (1,1)."""
+    w = np.asarray(wf)
+    groups = []
+    for a in range(2):
+        for b in range(2):
+            groups.append(w[a::2, b::2])  # [2, 2, I, O]
+    return np.concatenate(groups, axis=-1)
+
+
+def _subpixel_conv(x, w_phase, prefer):
+    """The stride-1 2x2 phase conv: x [N, H, W, I] -> z [N, H+1, W+1, 4*O]."""
+    return jax.lax.conv_general_dilated(
+        x, w_phase, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=prefer,
+    )
+
+
+def _subpixel_interleave(z, h: int, wd: int):
+    """z [N, H+1, W+1, 4*O] phase maps -> y [N, 2H, 2W, O] depth-to-space."""
+    n = z.shape[0]
+    o = z.shape[-1] // 4
+    phases = []
+    for a in range(2):
+        for b in range(2):
+            phases.append(z[:, a:h + a, b:wd + b, (2 * a + b) * o:(2 * a + b + 1) * o])
+    stacked = jnp.stack(
+        [jnp.stack(phases[0:2], axis=3), jnp.stack(phases[2:4], axis=3)], axis=3
+    )  # [N, H, W, 2(a), 2(b), O]
+    return stacked.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * wd, o)
+
+
 # ------------------------------------------------------------- the forward
 
 
@@ -148,9 +193,13 @@ class _Recorder:
         self._record(x, "input")
         return x, None
 
-    def qchain(self, h, s_h, name, stride=1, relu=True, **kw):
+    def qchain(self, h, s_h, name, stride=1, relu=True, subpixel=False, **kw):
         w, b = self.folded[name]
-        y = _conv(h, jnp.asarray(w), stride=stride, prefer=jnp.float32, **kw) + b
+        if subpixel:
+            z = _subpixel_conv(h, jnp.asarray(subpixel_deconv_weights(w)), jnp.float32)
+            y = _subpixel_interleave(z, h.shape[1], h.shape[2]) + b
+        else:
+            y = _conv(h, jnp.asarray(w), stride=stride, prefer=jnp.float32, **kw) + b
         if relu:
             y = jax.nn.relu(y)
         self._record(y, f"{name}.out")
@@ -186,15 +235,26 @@ class _Int8Runner:
         s = self.q["act_scales"]["input"]
         return self._quant(x, s), s
 
-    def qchain(self, h_q, s_h, name, stride=1, relu=True, **kw):
+    def qchain(self, h_q, s_h, name, stride=1, relu=True, subpixel=False, **kw):
         wq = self.q["weights"][name]
         ws = self.q["w_scales"][name]
         b = self.q["biases"][name]
+        s_out = self.q["act_scales"][f"{name}.out"]
+        if subpixel:
+            # requantize BEFORE the depth-to-space: bias/ReLU/quantize fuse
+            # into the conv epilogue and the interleave shuffles int8 bytes
+            # (an f32 interleave measured 0.8 ms of pure data movement per
+            # deconv — it erased the subpixel win entirely)
+            z = _subpixel_conv(h_q, wq, jnp.int32)
+            zf = z.astype(jnp.float32) * (s_h * ws) + jnp.tile(b, 4)
+            if relu:
+                zf = jax.nn.relu(zf)
+            z_q = self._quant(zf, s_out)
+            return _subpixel_interleave(z_q, h_q.shape[1], h_q.shape[2]), s_out
         y = _conv(h_q, wq, stride=stride, prefer=jnp.int32, **kw)
         y = y.astype(jnp.float32) * (s_h * ws) + b
         if relu:
             y = jax.nn.relu(y)
-        s_out = self.q["act_scales"][f"{name}.out"]
         return self._quant(y, s_out), s_out
 
     def conv_f32(self, h_q, s_h, name, stride=1, **kw):
@@ -212,7 +272,8 @@ class _Int8Runner:
         return self._quant(y, s), s
 
 
-def _forward(runner, x, num_layers, deconv_filters, deconv_kernels):
+def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
+             subpixel_deconvs: bool = False):
     """Shared calibration/int8 forward over the layer plan.
     Returns heatmaps [N, h, w, J] (f32)."""
     import flax.linen as nn
@@ -243,13 +304,19 @@ def _forward(runner, x, num_layers, deconv_filters, deconv_kernels):
             h_q, s_h = runner.requant(out, f"{name}.out")
         elif kind == "deconv":
             k = info["kernel"]
-            pad = k - 1 - (1 if k in (3, 4) else 0)
-            opad = 1 if k == 3 else 0
-            h_q, s_h = runner.qchain(
-                h_q, s_h, info["name"],
-                padding=[(pad, pad + opad), (pad, pad + opad)],
-                lhs_dilation=(2, 2),
-            )
+            if k == 4 and subpixel_deconvs:
+                # subpixel decomposition: 4x fewer MACs, but measured a wash
+                # vs XLA's dilated int8 conv once interleave movement is paid
+                # (10.8 vs 10.2 ms full model) — kept as an option
+                h_q, s_h = runner.qchain(h_q, s_h, info["name"], subpixel=True)
+            else:
+                pad = k - 1 - (1 if k in (3, 4) else 0)
+                opad = 1 if k == 3 else 0
+                h_q, s_h = runner.qchain(
+                    h_q, s_h, info["name"],
+                    padding=[(pad, pad + opad), (pad, pad + opad)],
+                    lhs_dilation=(2, 2),
+                )
         else:  # final head: dequantized f32 heatmaps out
             h_q = runner.conv_f32(h_q, s_h, "final")
     return h_q
@@ -276,11 +343,14 @@ def calibrate(model, variables, batches) -> tuple[dict, dict]:
     return folded, scales
 
 
-def quantize_weights(folded: dict, act_scales: dict) -> dict:
+def quantize_weights(folded: dict, act_scales: dict,
+                     subpixel_deconvs: bool = False) -> dict:
     """Per-output-channel int8 weight quantization of the folded params."""
     weights, w_scales, biases = {}, {}, {}
     for name, (w, b) in folded.items():
-        s = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0  # [o]
+        if subpixel_deconvs and name.startswith("deconv") and w.shape[0] == 4:
+            w = subpixel_deconv_weights(w)  # [2, 2, I, 4*O]
+        s = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0  # [o or 4o]
         wq = np.clip(np.round(w / s[None, None, None, :]), -127, 127).astype(np.int8)
         weights[name] = jnp.asarray(wq)
         w_scales[name] = jnp.asarray(s.astype(np.float32))
@@ -293,14 +363,15 @@ def quantize_weights(folded: dict, act_scales: dict) -> dict:
     }
 
 
-def quantize_pose_resnet(model, variables, calib_batches) -> tuple[dict, Any]:
+def quantize_pose_resnet(model, variables, calib_batches,
+                         subpixel_deconvs: bool = False) -> tuple[dict, Any]:
     """One-call PTQ: returns (qparams, jitted int8 forward).
 
     ``calib_batches``: iterable of [N, H, W, 3] float inputs (normalised like
     training). The returned forward maps inputs to f32 heatmaps.
     """
     folded, act_scales = calibrate(model, variables, calib_batches)
-    qparams = quantize_weights(folded, act_scales)
+    qparams = quantize_weights(folded, act_scales, subpixel_deconvs)
 
     num_layers = model.num_layers
     dfs, dks = model.deconv_filters, model.deconv_kernels
@@ -308,6 +379,7 @@ def quantize_pose_resnet(model, variables, calib_batches) -> tuple[dict, Any]:
     @jax.jit
     def forward(qparams, x):
         runner = _Int8Runner(qparams)
-        return _forward(runner, x, num_layers, dfs, dks)
+        return _forward(runner, x, num_layers, dfs, dks,
+                        subpixel_deconvs=subpixel_deconvs)
 
     return qparams, forward

@@ -78,3 +78,16 @@ def test_quant_weights_are_int8(rng):
     for name, w in qparams["weights"].items():
         assert w.dtype == jnp.int8, name
         assert qparams["w_scales"][name].shape == (w.shape[-1],)
+
+
+def test_int8_subpixel_variant_matches(rng):
+    """The subpixel-deconv option produces the same heatmaps as dilated."""
+    model, variables = _trained_like_variables(rng)
+    calib = [rng.randn(2, 64, 64, 3).astype(np.float32)]
+    q1, f1 = quantize_pose_resnet(model, variables, calib)
+    q2, f2 = quantize_pose_resnet(model, variables, calib, subpixel_deconvs=True)
+    x = jnp.asarray(calib[0])
+    a = np.asarray(f1(q1, x))
+    b = np.asarray(f2(q2, x))
+    # same math up to independent weight-quantization rounding
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
