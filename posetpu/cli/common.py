@@ -44,7 +44,7 @@ def load_model_variables(path: str, drop_aggre: bool = False):
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
 
-        payload = ocp.StandardCheckpointer().restore(path)
+        payload = ocp.StandardCheckpointer().restore(os.path.abspath(path))
         if "params" in payload:
             return payload
         state = payload.get("base_model", payload)

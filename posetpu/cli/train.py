@@ -10,6 +10,8 @@ process drives every local device through a 1-D data mesh (multi-host via
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -204,6 +206,8 @@ def main():
             state = train_epoch(
                 cfg, train_loader, prepare, train_step, state, epoch,
                 logger=logger, writer=writer, extra_batch_fn=extra,
+                debug_dir=os.path.join(output_dir, "debug")
+                if cfg.DEBUG.DEBUG else None,
             )
             if jax.process_index() == 0:
                 perf, _, _, _ = validate(

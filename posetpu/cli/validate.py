@@ -12,6 +12,8 @@ pseudo-label inputs) without its stale-signature bug (valid_trainset.py:170).
 
 from __future__ import annotations
 
+import numpy as np
+
 
 def parse_args():
     from posetpu.cli.common import base_parser
@@ -25,6 +27,8 @@ def parse_args():
                    help="run on the training subset (pseudo-label inference)")
     p.add_argument("--no-distortion", action="store_true")
     p.add_argument("--f32", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the int8 PTQ trunk (calibrated on the first batches)")
     return p.parse_args()
 
 
@@ -64,7 +68,26 @@ def main():
     assert state_path, "--state (or TEST.STATE) required"
     variables = load_model_variables(state_path, drop_aggre=not cfg.NETWORK.AGGRE)
 
-    eval_step = make_eval_step(model, cfg, flip_pairs=dataset.flip_pairs)
+    if args.int8:
+        from posetpu.data.prepare import make_prepare_fn
+        from posetpu.train.serve import build_quant_from_variables, make_quant_eval_step
+
+        prep = make_prepare_fn(cfg)
+        calib = []
+        for i, host_batch in enumerate(loader):
+            dev = prep(host_batch)
+            imgs = np.asarray(dev["images"])
+            calib.append(imgs.reshape((-1,) + imgs.shape[2:]))
+            if i >= 1:
+                break
+        qparams, qfwd, aggre_apply = build_quant_from_variables(cfg, variables, calib)
+        eval_step = make_quant_eval_step(
+            qfwd, qparams, cfg, flip_pairs=dataset.flip_pairs,
+            aggre_apply=aggre_apply,
+        )
+        logger.info("=> serving the int8 PTQ trunk")
+    else:
+        eval_step = make_eval_step(model, cfg, flip_pairs=dataset.flip_pairs)
     perf, name_values, _, _ = validate(
         cfg, loader, dataset, eval_step, variables,
         output_dir=output_dir, logger=logger,

@@ -21,10 +21,13 @@ from posetpu.utils.logging import AverageMeter
 
 
 def train_epoch(cfg, loader: GroupLoader, prepare, train_step, state,
-                epoch: int, logger=None, writer=None, extra_batch_fn=None):
+                epoch: int, logger=None, writer=None, extra_batch_fn=None,
+                debug_dir: str | None = None):
     """One training epoch. ``extra_batch_fn(host_batch, device_batch)`` lets
     callers inject per-batch extras (e.g. per-sample fundamental matrices
-    gathered by subject)."""
+    gathered by subject). With ``debug_dir`` set and DEBUG.DEBUG on, dumps
+    GT-joint/heatmap grids every PRINT_FREQ like the reference
+    (function.py:521-526)."""
     from posetpu.utils.profiling import StepTimer
 
     loader.set_epoch(epoch)
@@ -54,6 +57,22 @@ def train_epoch(cfg, loader: GroupLoader, prepare, train_step, state,
                 f"Speed {speed:.1f} samples/s\tData {perf.get('data_ms', 0):.1f}ms\t"
                 f"Memory {mem}\t" + "\t".join(parts)
             )
+            if debug_dir is not None and cfg.DEBUG.DEBUG:
+                from posetpu.utils.vis import save_debug_images
+
+                dv = batch  # device batch has normalised images + targets
+                v0 = 0  # first view, like the reference's per-view loop
+                prefix = os.path.join(debug_dir, f"train_view1_{i:08d}")
+                save_debug_images(
+                    cfg,
+                    np.asarray(dv["images"][:, v0]),
+                    np.asarray(host_batch["joints_crop"][:, v0]),
+                    np.asarray(host_batch["joints_vis"][:, v0]),
+                    np.asarray(host_batch["joints_crop"][:, v0]),
+                    np.asarray(dv["target"][:, v0]),
+                    np.asarray(dv["target"][:, v0]),
+                    prefix,
+                )
         else:
             timer.step_done()
             if writer is not None:

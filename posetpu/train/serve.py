@@ -1,0 +1,97 @@
+"""int8 serving-side evaluation step.
+
+Runs the PTQ int8 trunk (posetpu/models/quant.py) inside the same eval
+contract as make_eval_step: multi-view batches, optional aggregation fusion
+(kept bf16 — it's one einsum over float-trained weights), fuse routing,
+in-graph flip test, decode to source-image coordinates. Lets
+``posetpu.cli.validate --int8`` serve reference checkpoints quantized.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from posetpu.core.inference import final_preds, flip_test_merge, fuse_routing
+
+
+def make_quant_eval_step(qfwd, qparams, cfg, flip_pairs=None,
+                         aggre_apply: Callable | None = None) -> Callable:
+    """qfwd/qparams from quantize_pose_resnet; ``aggre_apply(heatmaps)``
+    optionally applies the float aggregation bank ([N, V, h, w, J] in/out)."""
+    is_aggre = aggre_apply is not None
+    fuse_output = bool(cfg.TEST.FUSE_OUTPUT)
+    flip_test = bool(cfg.TEST.FLIP_TEST)
+    shift = bool(cfg.TEST.SHIFT_HEATMAP)
+    post = bool(cfg.TEST.POST_PROCESS)
+    pairs = tuple(tuple(p) for p in (flip_pairs or ()))
+
+    def trunk(x):
+        n, v = x.shape[0], x.shape[1]
+        hm = qfwd(qparams, x.reshape((n * v,) + x.shape[2:]))
+        return hm.reshape((n, v) + hm.shape[1:])
+
+    @jax.jit
+    def eval_step(variables_unused, batch):
+        is_h36m = batch["is_h36m"]
+        if flip_test:
+            x = jnp.concatenate(
+                [batch["images"], jnp.flip(batch["images"], axis=-2)], axis=0
+            )
+            raw2 = trunk(x)
+            m2 = jnp.concatenate([is_h36m, is_h36m], axis=0)
+            fused2 = aggre_apply(raw2) if is_aggre else None
+            out2 = (
+                fuse_routing(raw2, fused2, m2) if (is_aggre and fuse_output) else raw2
+            )
+            n = batch["images"].shape[0]
+            output = flip_test_merge(out2[:n], out2[n:], pairs, shift=shift)
+        else:
+            raw = trunk(batch["images"])
+            fused = aggre_apply(raw) if is_aggre else None
+            output = (
+                fuse_routing(raw, fused, is_h36m)
+                if (is_aggre and fuse_output)
+                else raw
+            )
+
+        preds, maxvals = final_preds(
+            output, batch["center"], batch["scale"], post_process=post
+        )
+        return {
+            "loss": jnp.float32(0.0),  # serving path: no training losses
+            "acc": jnp.float32(0.0),
+            "preds": preds,
+            "maxvals": maxvals,
+            "heatmaps": output,
+        }
+
+    return eval_step
+
+
+def build_quant_from_variables(cfg, variables, calib_batches):
+    """Quantize a MultiViewPose variables tree's resnet trunk; returns
+    (qparams, qfwd, aggre_apply or None)."""
+    from posetpu.models import get_pose_net
+    from posetpu.models.multiview import Aggregation
+    from posetpu.models.quant import quantize_pose_resnet
+
+    resnet = get_pose_net(cfg, dtype=jnp.float32)
+    res_vars = {
+        "params": variables["params"]["resnet"],
+        "batch_stats": variables["batch_stats"]["resnet"],
+    }
+    qparams, qfwd = quantize_pose_resnet(resnet, res_vars, calib_batches)
+
+    aggre_apply = None
+    if cfg.NETWORK.AGGRE and "aggre_layer" in variables["params"]:
+        bank = variables["params"]["aggre_layer"]["weight"]
+        aggre = Aggregation(heatmap_size=int(cfg.NETWORK.HEATMAP_SIZE[0]),
+                            dtype=jnp.bfloat16)
+
+        def aggre_apply(hm):
+            return aggre.apply({"params": {"weight": bank}}, hm)
+
+    return qparams, qfwd, aggre_apply

@@ -157,3 +157,25 @@ def test_graft_entry_forward_compiles():
     fn, args = g.entry()
     coords, maxv = jax.jit(fn)(*args)
     assert coords.shape == (2, 4, 16, 2)
+
+
+def test_eval_step_sharded_matches_single_device(rng):
+    cfg = _tiny_cfg()
+    model = MultiViewPose(resnet=get_pose_net(cfg), aggre=True)
+    x = jnp.asarray(rng.randn(1, 4, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    eval_step = make_eval_step(model, cfg, flip_pairs=FLIP_PAIRS)
+    batch = jax.tree.map(jnp.asarray, _batch(8, rng))
+
+    single = eval_step(variables, batch)
+    mesh = data_mesh(8)
+    with mesh:
+        v_r = jax.device_put(variables, replicated(mesh))
+        batch_s = shard_batch(batch, mesh)
+        sharded = eval_step(v_r, batch_s)
+    np.testing.assert_allclose(
+        np.asarray(single["preds"]), np.asarray(sharded["preds"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(single["loss"]), float(sharded["loss"]), rtol=1e-4
+    )
