@@ -66,13 +66,25 @@ def fundamental_loss(joints_2d, target_weight, fmats, sample_mask=None,
     ``batch_size`` (masked rows contribute zeros).
     """
     n, v, j, _ = joints_2d.shape
-    homo = jnp.concatenate([joints_2d, jnp.ones((n, v, j, 1), joints_2d.dtype)], -1)
+    # precondition: evaluate the bilinear form in *centered* coordinates,
+    # conjugating F by the translation (exact algebra: x^T F y is invariant).
+    # With raw ~1000 px coords the f32 cancellation floor is ~0.05/joint —
+    # the same as the torch reference's — and drowns small epipolar
+    # residuals; centering drops the product magnitudes ~10x.
+    c = jax.lax.stop_gradient(jnp.mean(joints_2d, axis=(0, 1, 2)))  # [2]
+    centered = joints_2d - c
+    homo = jnp.concatenate([centered, jnp.ones((n, v, j, 1), joints_2d.dtype)], -1)
+    # F' = T^T F T with T = [[1,0,cx],[0,1,cy],[0,0,1]]
+    fc = fmats.at[..., :, 2].add(
+        fmats[..., :, 0] * c[0] + fmats[..., :, 1] * c[1]
+    )
+    fc = fc.at[..., 2, :].add(fc[..., 0, :] * c[0] + fc[..., 1, :] * c[1])
     pairs = jnp.asarray(VIEW_PERMS, jnp.int32)
     x1 = homo[:, pairs[:, 0]]  # [N, 12, J, 3]
     x2 = homo[:, pairs[:, 1]]
     # residual_j = x2_j^T F x1_j  (reference: sum((h2 @ F) * h1, dim=1))
     res = jnp.abs(
-        jnp.einsum("npja,npab,npjb->npj", x2, fmats, x1, precision="highest")
+        jnp.einsum("npja,npab,npjb->npj", x2, fc, x1, precision="highest")
     )
     if use_target_weight:
         w = target_weight[:, pairs[:, 0]] * target_weight[:, pairs[:, 1]]  # [N,12,J]

@@ -287,7 +287,7 @@ def make_adversarial_train_step(model, disc_models: dict, cfg, tx_base,
                 metrics["jmi_g"] = jl
 
         metrics["loss"] = loss
-        return loss, (mut["batch_stats"], raw, metrics)
+        return loss, (mut["batch_stats"], output, metrics)
 
     # --------------------------------------------------------- full step
 

@@ -44,6 +44,9 @@ def train_epoch(cfg, loader: GroupLoader, prepare, train_step, state,
         if logger is not None and i % cfg.PRINT_FREQ == 0:
             # scalar fetch here is also the device sync for the timing
             timer.step_done(metrics["loss"])
+            from posetpu.utils.checks import check_finite_metrics
+
+            check_finite_metrics(metrics, i)
             parts = []
             for k in sorted(metrics):
                 v = float(metrics[k])
@@ -57,6 +60,10 @@ def train_epoch(cfg, loader: GroupLoader, prepare, train_step, state,
                 f"Speed {speed:.1f} samples/s\tData {perf.get('data_ms', 0):.1f}ms\t"
                 f"Memory {mem}\t" + "\t".join(parts)
             )
+            if writer is not None:
+                base = state["base_model"] if isinstance(state, dict) else state
+                for k, m in meters.items():
+                    writer.add_scalar(f"train_{k}", m.val, int(base.step))
             if debug_dir is not None and cfg.DEBUG.DEBUG:
                 from posetpu.utils.vis import save_debug_images
 
@@ -75,10 +82,6 @@ def train_epoch(cfg, loader: GroupLoader, prepare, train_step, state,
                 )
         else:
             timer.step_done()
-            if writer is not None:
-                base = state["base_model"] if isinstance(state, dict) else state
-                for k, m in meters.items():
-                    writer.add_scalar(f"train_{k}", m.val, int(base.step))
     return state
 
 

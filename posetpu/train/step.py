@@ -109,10 +109,12 @@ def make_train_step(model, cfg, tx) -> Callable:
             metrics["fund_loss"] = fl
 
         metrics["loss"] = loss
-        return loss, (mut["batch_stats"], raw, metrics)
+        return loss, (mut["batch_stats"], output, metrics)
 
     @jax.jit
     def train_step(state: TrainState, batch):
+        # accuracy is computed on the (fused) output, like the reference
+        # (function.py:463-466)
         grads, (new_stats, raw, metrics) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch
         )

@@ -99,3 +99,32 @@ def test_step_timer_and_memory():
     assert s["samples_per_s"] > 0
     assert sync(jnp.ones(4)) == 4.0
     assert isinstance(device_memory_stats(), dict)
+
+
+def test_checks_module():
+    import pytest as _pytest
+
+    from posetpu.utils.checks import assert_batch_shapes, check_finite_metrics
+
+    batch = {
+        "images": np.zeros((2, 4, 8, 8, 3)),
+        "target": np.zeros((2, 4, 4, 4, 16)),
+        "weight": np.zeros((2, 4, 16)),
+        "is_h36m": np.zeros(2),
+        "center": np.zeros((2, 4, 2)),
+        "scale": np.zeros((2, 4, 2)),
+    }
+    assert_batch_shapes(batch)
+    bad = dict(batch, weight=np.zeros((2, 4, 15)))
+    with _pytest.raises(ValueError):
+        assert_batch_shapes(bad)
+
+    import os as _os
+
+    _os.environ["POSETPU_CHECK_FINITE"] = "1"
+    try:
+        with _pytest.raises(FloatingPointError):
+            check_finite_metrics({"loss": float("nan")}, 3)
+        check_finite_metrics({"loss": 1.0}, 3)
+    finally:
+        _os.environ.pop("POSETPU_CHECK_FINITE")
