@@ -136,6 +136,86 @@ def generate_pairwise(cfg, out_dir: str, log=print):
     return limb_dict, constraints
 
 
+def generate_undistorted(cfg, out_root: str, max_groups: int = 0, log=print):
+    """Regenerate an undistortion-free H36M dataset — the equivalent of
+    run/test/undistort_image.py + test_proj2d.py: every image is remapped so
+    a pinhole camera reproduces it, annotations re-projected, camera
+    distortion zeroed, and the new pickle written with the
+    ``h36m_<subset>_nodistortion.pkl`` name the dataset loader expects.
+
+    Image remap: dst(u) = src(distort(u)) — each undistorted pixel samples
+    the original at its distorted location (batched on device via the warp
+    op's bilinear sampler).
+    """
+    import copy
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from posetpu.data.registry import get_dataset
+    from posetpu.data import zipreader
+    from posetpu.geometry.cameras import CameraParams, distort_opencv
+    from posetpu.ops.warp import bilinear_sample
+
+    dataset = get_dataset(cfg.DATASET.TEST_DATASET)(
+        cfg, cfg.DATASET.TEST_SUBSET, False
+    )
+    os.makedirs(os.path.join(out_root, "h36m", "images"), exist_ok=True)
+    new_db = []
+    groups = dataset.grouping[:max_groups] if max_groups else dataset.grouping
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("h", "w"))
+    def remap(img, f, c, k, p, h, w):
+        uy = jnp.arange(h, dtype=jnp.float32)
+        ux = jnp.arange(w, dtype=jnp.float32)
+        gx, gy = jnp.meshgrid(ux, uy)
+        norm = jnp.stack([(gx - c[0]) / f[0], (gy - c[1]) / f[1]], -1)
+        d = distort_opencv(norm.reshape(-1, 2), k, p)
+        src = d * f + c
+        return bilinear_sample(img, src[:, 0].reshape(h, w), src[:, 1].reshape(h, w))
+
+    for items in groups:
+        for idx in items:
+            rec = copy.deepcopy(dataset.db[idx])
+            cam = CameraParams.from_dict(rec["camera"])
+            img = zipreader.imread(dataset._image_path(rec))
+            h, w = img.shape[:2]
+            und = np.asarray(
+                remap(jnp.asarray(img, jnp.float32), cam.f, cam.c, cam.k, cam.p,
+                      h, w)
+            ).clip(0, 255).astype(np.uint8)
+            out_img = os.path.join(out_root, "h36m", "images", rec["image"])
+            os.makedirs(os.path.dirname(out_img), exist_ok=True)
+            cv2.imwrite(out_img, und)
+
+            # undistorted joints: pinhole projection of the camera-frame 3D,
+            # stored in the ACTUAL (pre-mapping) annotation format the loader
+            # expects — it applies the union remap itself on load
+            xc = np.asarray(rec["joints_3d"], np.float64)
+            f = np.asarray(cam.f)
+            c = np.asarray(cam.c)
+            pin = xc[:, :2] / xc[:, 2:3] * f + c
+            rec["joints_2d"] = pin.astype(np.float64)
+            rec["joints_vis"] = np.ones((len(pin), 3))
+            rec["camera"] = dict(rec["camera"])
+            rec["camera"]["k"] = np.zeros((3, 1))
+            rec["camera"]["p"] = np.zeros((2, 1))
+            new_db.append(rec)
+
+    annot_dir = os.path.join(out_root, "h36m", "annot")
+    os.makedirs(annot_dir, exist_ok=True)
+    out_pkl = os.path.join(
+        annot_dir, f"h36m_{cfg.DATASET.TEST_SUBSET}_nodistortion.pkl"
+    )
+    with open(out_pkl, "wb") as fh:
+        pickle.dump(new_db, fh)
+    log(f"=> {out_pkl} ({len(new_db)} records)")
+    return out_pkl
+
+
 def generate_pseudo_cfg(base_cfg_path: str, select_file: str, out_dir: str,
                         log=print):
     """Write one experiment YAML per selected pseudo-label file
@@ -169,7 +249,8 @@ def main():
     from posetpu.cli.common import load_cfg
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("command", choices=["fundamental", "pairwise", "pseudo-cfg"])
+    p.add_argument("command",
+                   choices=["fundamental", "pairwise", "pseudo-cfg", "undistort"])
     p.add_argument("--cfg", required=True)
     p.add_argument("--out", default="")
     p.add_argument("--from-calibration", action="store_true")
@@ -185,6 +266,8 @@ def main():
     if args.command == "pairwise":
         out = args.out or os.path.join(cfg.DATASET.ROOT, "testdata")
         return generate_pairwise(cfg, out)
+    if args.command == "undistort":
+        return generate_undistorted(cfg, args.out or cfg.DATASET.ROOT)
     return generate_pseudo_cfg(args.cfg, args.select_file, args.out or "experiments/pseudo")
 
 

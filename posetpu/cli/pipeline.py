@@ -30,10 +30,108 @@ def parse_args():
     return p.parse_args()
 
 
+def default_stage_fns(args, log=print):
+    """Real in-process stage implementations wiring the library pieces —
+    the train.sh bodies (train -> valid_trainset -> test_pseudo_label)."""
+    import numpy as np
+
+    def train_fn(cfg, pseudo_path, it):
+        import jax
+
+        from posetpu.cli.common import build_model
+        from posetpu.cli.train import build_fund_extra
+        from posetpu.data.loader import GroupLoader
+        from posetpu.data.prepare import make_prepare_fn
+        from posetpu.data.registry import get_dataset
+        from posetpu.train.checkpoint import CheckpointManager
+        from posetpu.train.loop import train_epoch, validate
+        from posetpu.train.optim import make_optimizer
+        from posetpu.train.step import init_train_state, make_eval_step, make_train_step
+        from posetpu.utils.logging import create_logger
+
+        logger, output_dir, _ = create_logger(cfg, args.cfg, f"pipeline_it{it}")
+        train_ds = get_dataset(cfg.DATASET.TRAIN_DATASET)(
+            cfg, cfg.DATASET.TRAIN_SUBSET, True,
+            pseudo_label_path=pseudo_path,
+            no_distortion=args.no_distortion,
+        )
+        loader = GroupLoader(train_ds, cfg.TRAIN.BATCH_SIZE, shuffle=True)
+        model = build_model(cfg, bf16=False)
+        tx = make_optimizer(cfg, steps_per_epoch=max(len(loader), 1))
+        step = make_train_step(model, cfg, tx)
+        prepare = make_prepare_fn(cfg)
+        sample = prepare(next(iter(loader)))
+        state = init_train_state(model, cfg, tx, sample)
+        extra = (
+            build_fund_extra(cfg, train_ds)
+            if cfg.LOSS.USE_FUNDAMENTAL_LOSS else None
+        )
+        epochs = args.epochs or cfg.TRAIN.END_EPOCH
+        for epoch in range(epochs):
+            state = train_epoch(cfg, loader, prepare, step, state, epoch,
+                                logger=logger, extra_batch_fn=extra)
+        ckpt = CheckpointManager(output_dir)
+        ckpt.save_final({"base_model": state})
+        return state, output_dir
+
+    def validate_fn(cfg, state_and_dir, it):
+        from posetpu.cli.common import build_model
+        from posetpu.data.loader import GroupLoader
+        from posetpu.data.registry import get_dataset
+        from posetpu.train.loop import validate
+        from posetpu.train.step import make_eval_step
+
+        state, output_dir = state_and_dir
+        # is_train=True keeps the ::5 training grouping the pseudo-label
+        # stage expects (valid_trainset.py builds the dataset the same way)
+        ds = get_dataset(cfg.DATASET.TEST_DATASET)(
+            cfg, "train", True, no_distortion=args.no_distortion
+        )
+        loader = GroupLoader(ds, cfg.TEST.BATCH_SIZE, shuffle=False, drop_last=False)
+        model = build_model(cfg, bf16=False)
+        eval_step = make_eval_step(model, cfg, flip_pairs=ds.flip_pairs)
+        validate(cfg, loader, ds, eval_step, state.variables, output_dir=output_dir)
+        return os.path.join(
+            output_dir, f"heatmaps_locations_train_{ds.dataset_type}.h5"
+        )
+
+    def mint_fn(cfg, heatmap_path, it):
+        from posetpu.data.base import sorted_union_indices
+        from posetpu.data.h5io import load_heatmaps
+        from posetpu.data.registry import get_dataset
+        from posetpu.pseudo import mint_pseudo_labels
+
+        ds = get_dataset(cfg.DATASET.TEST_DATASET)(
+            cfg, "train", True, no_distortion=args.no_distortion
+        )
+        _, locations, _ = load_heatmaps(heatmap_path)
+        out_dir = os.path.join(os.path.dirname(heatmap_path), f"pseudo_it{it}")
+        u = sorted_union_indices(ds.u2a_mapping)
+        gt2d = ds.gt_joints_flat()[0][:, u]
+        flat = [i for g in ds.grouping for i in g]
+        scales = np.array([ds.db[i]["scale"] for i in flat])
+        mint_pseudo_labels(
+            locations[:, :, :2], locations[:, :, 2], ds.cameras_flat(), out_dir,
+            gt2d=gt2d, headsizes=np.amax(scales, 1, keepdims=True) * 20,
+            loop=True, confidence_thre=args.confidence_thre,
+            if_ransac=args.ransac, num_inliers=args.inliers,
+            reproj_thre=args.reproj_thre, use_reproj=True,
+            no_distortion=args.no_distortion, log=log,
+        )
+        return os.path.join(
+            out_dir, f"{args.confidence_thre}_1_pseudo_label.h5"
+        )
+
+    return train_fn, validate_fn, mint_fn
+
+
 def run_pipeline(cfg, args, train_fn=None, validate_fn=None, mint_fn=None, log=print):
     """One full self-training run. The stage functions are injectable for
-    testing; the defaults call the real CLI mains in-process."""
+    testing; the defaults wire the real library stages in-process."""
     from posetpu.config import clone
+
+    if train_fn is None:
+        train_fn, validate_fn, mint_fn = default_stage_fns(args, log=log)
 
     pseudo_path = ""
     for it in range(args.repeats):
@@ -46,3 +144,15 @@ def run_pipeline(cfg, args, train_fn=None, validate_fn=None, mint_fn=None, log=p
         pseudo_path = mint_fn(it_cfg, heatmap_path, it)
         log(f"iteration {it}: pseudo labels at {pseudo_path}")
     return pseudo_path
+
+
+def main():
+    args = parse_args()
+    from posetpu.cli.common import load_cfg
+
+    cfg = load_cfg(args)
+    return run_pipeline(cfg, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,10 +26,19 @@ class Section:
         object.__setattr__(self, "_entries", dict(entries))
 
     def __getattr__(self, name: str) -> Any:
+        if name == "_entries":  # not yet set (e.g. during copy protocols)
+            raise AttributeError(name)
         try:
             return self._entries[name]
         except KeyError:
             raise AttributeError(name) from None
+
+    def __deepcopy__(self, memo):
+        import copy as _copy
+
+        new = Section.__new__(Section)
+        object.__setattr__(new, "_entries", _copy.deepcopy(self._entries, memo))
+        return new
 
     def __setattr__(self, name: str, value: Any) -> None:
         if name not in self._entries:

@@ -134,6 +134,12 @@ class MultiViewH36M(JointsDataset):
         headsizes = np.amax(scales, axis=1, keepdims=True) * 200 / 10.0
 
         dist = np.linalg.norm(gt - pred, axis=2)
+        if output_dir is not None:
+            from posetpu.utils.vis import save_all_preds
+
+            names = [self.db[i]["image"] for i in flat]
+            save_all_preds(gt, pred, dist <= headsizes * 0.5, names, "h36m",
+                           output_dir)
         name_values = collections.OrderedDict()
         head_idx = int(np.where(np.array([H36M_JOINTS[x] for x in a]) == "head")[0][0])
 

@@ -104,6 +104,12 @@ class MPIIDataset(JointsDataset):
         considered = detected * vis
         rate = considered.sum(0) / vis.sum(0).astype(np.float32)
 
+        if output_dir is not None:
+            from posetpu.utils.vis import save_all_preds
+
+            names = [self.db[i]["image"] for i in flat]
+            save_all_preds(gt, pred, detected, names, "mpii", output_dir)
+
         name_values = collections.OrderedDict(
             (MPII_JOINTS[a[i]], rate[i]) for i in range(len(u))
         )

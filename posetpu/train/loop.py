@@ -55,10 +55,12 @@ def train_epoch(cfg, loader: GroupLoader, prepare, train_step, state,
             perf = timer.summary(samples_per_step=nimgs)
             speed = perf.get("samples_per_s", 0.0)
             mem = perf.get("bytes_in_use", -1)
+            h36m_pct = float(np.mean(host_batch["is_h36m"]))
+            src_msg = f"h36m {h36m_pct:.1%} other {1 - h36m_pct:.1%}"
             logger.info(
                 f"Epoch [{epoch}][{i}/{len(loader)}] "
                 f"Speed {speed:.1f} samples/s\tData {perf.get('data_ms', 0):.1f}ms\t"
-                f"Memory {mem}\t" + "\t".join(parts)
+                f"Memory {mem}\t" + "\t".join(parts) + "\t" + src_msg
             )
             if writer is not None:
                 base = state["base_model"] if isinstance(state, dict) else state
@@ -125,7 +127,8 @@ def validate(cfg, loader: GroupLoader, dataset, eval_step, variables,
         if logger:
             logger.info(f"=> heatmap dump: {path}")
 
-    name_values, perf = dataset.evaluate(all_preds[:, u, :])
+    preds_dir = output_dir if (output_dir and cfg.DEBUG.SAVE_ALL_PREDS) else None
+    name_values, perf = dataset.evaluate(all_preds[:, u, :], preds_dir)
     if logger:
         names = list(name_values.keys())
         logger.info("| Arch " + " ".join(f"| {n}" for n in names) + " |")
