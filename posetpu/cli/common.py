@@ -6,7 +6,6 @@ from __future__ import annotations
 import argparse
 
 import jax.numpy as jnp
-import numpy as np
 
 from posetpu.config import load_config, update_dir
 

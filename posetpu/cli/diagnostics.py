@@ -53,8 +53,6 @@ def ransac_report(cfg, heatmap: str, log=print):
         )
     )
 
-    import jax
-
     gt3d = []
     for items in dataset.grouping:
         rec = dataset.db[items[-1]]

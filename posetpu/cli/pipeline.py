@@ -36,8 +36,6 @@ def default_stage_fns(args, log=print):
     import numpy as np
 
     def train_fn(cfg, pseudo_path, it):
-        import jax
-
         from posetpu.cli.common import build_model
         from posetpu.cli.train import build_fund_extra
         from posetpu.data.loader import GroupLoader

@@ -25,7 +25,6 @@ def parse_args():
 def run(cfg, heatmap: str = "", no_distortion: bool = False, log=print):
     import jax.numpy as jnp
 
-    from posetpu.data.base import sorted_union_indices
     from posetpu.data.h5io import load_heatmaps
     from posetpu.data.registry import get_dataset
     from posetpu.geometry.cameras import camera_to_world_frame

@@ -11,7 +11,6 @@ host->device transfer bytes 4x.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

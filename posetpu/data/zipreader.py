@@ -6,7 +6,6 @@ path and decodes images with cv2. Thread-safe for the prefetching loader.
 
 from __future__ import annotations
 
-import os
 import threading
 import zipfile
 

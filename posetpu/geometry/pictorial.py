@@ -23,7 +23,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from posetpu.geometry.body import CHILDREN, ROOT_IDX, edges, nodes_by_level_desc
 from posetpu.geometry.cameras import CameraParams, project_pose

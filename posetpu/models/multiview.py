@@ -10,7 +10,7 @@ the batch for the shared backbone.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

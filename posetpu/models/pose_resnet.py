@@ -18,7 +18,6 @@ name-and-layout mapping.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn

@@ -19,8 +19,7 @@ at function.py:184-188 that double-adds the raw term when aggregation is on.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
