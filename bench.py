@@ -24,18 +24,22 @@ BASELINE_FPS = 5000.0  # /root/repo/BASELINE.json north star
 
 
 def _build_int8(batch):
-    """int8 serving pipeline: PTQ ResNet-50 -> decode -> triangulate.
-    (Aggregation fusion stays bf16 — it's one einsum over f32-trained
-    weights; the conv trunk is where int8 pays.)"""
+    """int8 serving pipeline: PTQ ResNet-50 trunk -> bf16 aggregation fusion
+    -> fuse routing -> decode -> triangulate (same stages as the bf16 path)."""
     import jax
     import jax.numpy as jnp
 
     from posetpu.config import default_config
-    from posetpu.core.inference import final_preds
+    from posetpu.core.inference import final_preds, fuse_routing
     from posetpu.data.synthetic import make_camera_ring, tile_cameras
     from posetpu.geometry.triangulate import triangulate_points
     from posetpu.models import get_pose_net
-    from posetpu.models.quant import quantize_pose_resnet
+    from posetpu.models.multiview import Aggregation
+    from posetpu.models.quant import (
+        aggregation_int8_apply,
+        quantize_aggregation,
+        quantize_pose_resnet,
+    )
 
     cfg = default_config()
     cfg.NETWORK.IMAGE_SIZE = np.array([256, 256])
@@ -46,21 +50,29 @@ def _build_int8(batch):
     variables = model.init(key, calib, train=False)
     qparams, qfwd = quantize_pose_resnet(model, variables, [np.asarray(calib)])
 
+    aggre = Aggregation(heatmap_size=64, dtype=jnp.bfloat16)
+    aggre_vars = aggre.init(key, jnp.zeros((1, 4, 64, 64, 16)))
+    qagg = quantize_aggregation(aggre_vars["params"]["weight"])
+
     x = jax.random.normal(key, (batch, 4, 256, 256, 3), jnp.float32)
     cams = tile_cameras(make_camera_ring(), batch)
     center = jnp.full((batch, 4, 2), 500.0, jnp.float32)
     scale = jnp.full((batch, 4, 2), 2.5, jnp.float32)
+    is_h36m = jnp.ones((batch,), jnp.float32)
+    params = {"q": qparams, "qagg": qagg}
 
     @jax.jit
-    def pipeline(qparams, x):
+    def pipeline(params, x):
         flat = x.reshape((batch * 4,) + x.shape[2:])
-        hm = qfwd(qparams, flat)  # [N*4, h, w, J]
-        out = hm.reshape((batch, 4) + hm.shape[1:])
+        hm = qfwd(params["q"], flat)  # [N*4, h, w, J]
+        raw = hm.reshape((batch, 4) + hm.shape[1:])
+        fused = aggregation_int8_apply(params["qagg"], raw)
+        out = fuse_routing(raw, fused, is_h36m)
         preds, maxvals = final_preds(out, center, scale)
         pts3d = triangulate_points(preds, cams, maxvals > 0.0)
         return jnp.sum(pts3d) + jnp.sum(preds)
 
-    return pipeline, qparams, x
+    return pipeline, params, x
 
 
 def _build(batch):
@@ -114,7 +126,7 @@ def _tunnel_rtt():
     return (time.perf_counter() - t0) / 10
 
 
-def _measure(pipeline, params, x, batch, rtt, reps=6):
+def _measure(pipeline, params, x, batch, rtt, reps=10):
     float(pipeline(params, x))  # compile + warm
     times = []
     for _ in range(reps):
@@ -141,7 +153,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "4-view frames/s/chip (ResNet-50 heatmap+decode+triangulation, int8 serving path)",
+                "metric": "4-view frames/s/chip (ResNet-50 heatmap+fusion+decode+triangulation, int8 serving path)",
                 "value": round(best_fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(best_fps / BASELINE_FPS, 3),

@@ -383,3 +383,51 @@ def quantize_pose_resnet(model, variables, calib_batches,
                         subpixel_deconvs=subpixel_deconvs)
 
     return qparams, forward
+
+
+# ------------------------------------------------------- quantized fusion
+
+
+def quantize_aggregation(bank, calib_heatmaps=None):
+    """Quantize the [12, S, S] ChannelWiseFC aggregation bank to int8 with
+    per-(pair, output-column) weight scales. Heatmap activations are near
+    [0, 1]; their scale comes from calibration maxima (default 1.2).
+
+    Returns qparams for :func:`aggregation_int8_apply`.
+    """
+    w = np.asarray(bank, np.float32)
+    s_w = np.maximum(np.abs(w).max(axis=1, keepdims=True), 1e-8) / 127.0  # [12,1,S]
+    wq = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+    amax = 1.2
+    if calib_heatmaps is not None:
+        amax = max(float(np.abs(np.asarray(calib_heatmaps)).max()), 1e-6)
+    return {
+        "wq": jnp.asarray(wq),
+        "w_scale": jnp.asarray(s_w.astype(np.float32)),
+        "x_scale": jnp.float32(amax / 127.0),
+    }
+
+
+def aggregation_int8_apply(qagg, heatmaps):
+    """int8 twin of posetpu.models.multiview.Aggregation.__call__:
+    heatmaps [N, 4, h, w, J] -> fused [N, 4, h, w, J]."""
+    n, v, h, w_, j = heatmaps.shape
+    s = h * w_
+    x = jnp.moveaxis(heatmaps.reshape(n, v, s, j), 3, 2)  # [N, V, J, S]
+    src = jnp.asarray(
+        [sv for tgt in range(4) for sv in range(4) if sv != tgt]
+    )
+    gathered = x[:, src]  # [N, 12, J, S]
+    gathered = jnp.moveaxis(gathered, 1, 0).reshape(12, n * j, s)
+    xq = jnp.clip(
+        jnp.round(gathered / qagg["x_scale"]), -127, 127
+    ).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, qagg["wq"],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [12, N*J, S]
+    y = y.astype(jnp.float32) * (qagg["x_scale"] * qagg["w_scale"])
+    y = jnp.moveaxis(y.reshape(12, n, j, s), 0, 1)  # [N, 12, J, S]
+    fused = y.reshape(n, v, 3, j, s).mean(axis=2)
+    return jnp.moveaxis(fused, 2, 3).reshape(n, v, h, w_, j)

@@ -91,3 +91,19 @@ def test_int8_subpixel_variant_matches(rng):
     b = np.asarray(f2(q2, x))
     # same math up to independent weight-quantization rounding
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+
+
+def test_int8_aggregation_matches_float(rng):
+    from posetpu.models.multiview import Aggregation
+    from posetpu.models.quant import aggregation_int8_apply, quantize_aggregation
+
+    s = 8
+    bank = rng.uniform(0, 0.1, (12, s * s, s * s)).astype(np.float32)
+    hm = rng.uniform(0, 1, (2, 4, s, s, 3)).astype(np.float32)
+    model = Aggregation(heatmap_size=s)
+    ref = np.asarray(model.apply({"params": {"weight": jnp.asarray(bank)}},
+                                 jnp.asarray(hm)))
+    qagg = quantize_aggregation(bank, calib_heatmaps=hm)
+    got = np.asarray(aggregation_int8_apply(qagg, jnp.asarray(hm)))
+    assert np.corrcoef(ref.ravel(), got.ravel())[0, 1] > 0.999
+    assert np.abs(ref - got).max() < 0.05 * max(np.abs(ref).max(), 1e-6)
