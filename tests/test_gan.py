@@ -188,3 +188,67 @@ def test_domain_gan_drives_discriminator_accuracy(rng):
         params = optax.apply_updates(params, updates)
         accs.append(float(acc))
     assert accs[-1] >= 0.9, accs[-5:]
+
+
+def test_view_and_joints_mi_losses(rng):
+    from posetpu.models.discriminators import JointsDiscriminator, ViewDiscriminator
+
+    n, j = 4, 16
+    j2d = jnp.asarray(rng.uniform(0, 500, (n, 4, j, 2)).astype(np.float32))
+    vd = ViewDiscriminator(out_channels=128)
+    vvars = vd.init(jax.random.PRNGKey(0), jnp.zeros((n, 1 * j * 2)),
+                    jnp.zeros((n, 3 * j * 2)), train=False)
+
+    def vd_apply(a, b):
+        return vd.apply(vvars, a, b, train=True, mutable=["batch_stats"])[0]
+
+    for measure in ("NCE", "JSD"):
+        l = mi.view_mi_loss(vd_apply, j2d, 1, measure)
+        assert np.isfinite(float(l)), measure
+
+    jd = JointsDiscriminator(out_channels=64)
+    jvars = jd.init(jax.random.PRNGKey(1), jnp.zeros((n, 4 * 2)),
+                    jnp.zeros((n, 12 * 2)), train=False)
+
+    def jd_apply(a, b):
+        return jd.apply(jvars, a, b, train=True, mutable=["batch_stats"])[0]
+
+    l = mi.joints_mi_loss(jd_apply, j2d[:, 0], (0, 5, 10, 15), "NCE")
+    assert np.isfinite(float(l))
+    # var2 stop-gradient path
+    l2 = mi.joints_mi_loss(jd_apply, j2d[:, 0], (0, 5, 10, 15), "JSD",
+                           var2_stop_gradient=True)
+    assert np.isfinite(float(l2))
+
+
+def test_local_mi_joint_variant(rng):
+    from posetpu.config import default_config
+    from posetpu.models.discriminators import LocalDiscriminator
+
+    cfg = default_config()
+    cfg.LOSS.SPECIFIC = "joint"
+    cfg.LOSS.MI_MEASURE = "JSD"
+    cfg.NETWORK.IMAGE_SIZE = np.array([64, 64])
+    cfg.NETWORK.HEATMAP_SIZE = np.array([16, 16])
+    n, c = 3, 8
+    feats = jnp.asarray(rng.randn(n, 16, 16, c).astype(np.float32))
+    joints = jnp.asarray(rng.uniform(0, 60, (n, 16, 2)).astype(np.float32))
+    vis = jnp.ones((n, 16))
+    d = LocalDiscriminator(out_channels=16)
+    dvars = d.init(jax.random.PRNGKey(0), feats[:, 0], feats[:, 0], train=False)
+
+    def d_apply(a, b):
+        return d.apply(dvars, a, b, train=True, mutable=["batch_stats"])[0]
+
+    loss = mi.local_mi_loss(jax.random.PRNGKey(2), d_apply, feats, feats,
+                            joints, vis, cfg)
+    assert np.isfinite(float(loss))
+
+
+def test_measures_finite(rng):
+    from posetpu.core.losses import fenchel_dual_loss
+
+    pos = jnp.asarray(rng.randn(32).astype(np.float32))
+    neg = jnp.asarray(rng.randn(32).astype(np.float32))
+    for m in ("GAN", "JSD", "X2", "KL", "RKL", "DV", "H2", "W1"):
+        assert np.isfinite(float(fenchel_dual_loss(pos, neg, m))), m
