@@ -98,18 +98,6 @@ def make_adversarial_train_step(model, disc_models: dict, cfg, tx_base,
     view_measure = cfg.LOSS.VIEW_MI_MEASURE
     joints_measure = cfg.LOSS.JOINTS_MI_MEASURE
 
-    def forward(base_state: TrainState, batch):
-        (raw, fused, low, high), mut = model.apply(
-            base_state.variables, batch["images"], train=True,
-            mutable=["batch_stats"],
-        )
-        output = (
-            fuse_routing(raw, fused, batch["is_h36m"])
-            if (is_aggre and fuse_output)
-            else raw
-        )
-        return raw, fused, low, high, output, mut["batch_stats"]
-
     def joints2d_of(output, batch):
         return _integral_joints_image_coords(
             output, batch["center"], batch["scale"], hm_size
@@ -120,11 +108,17 @@ def make_adversarial_train_step(model, disc_models: dict, cfg, tx_base,
 
     # ------------------------------------------------------------- D side
 
-    def d_losses(d_params_stats: dict, base_state, batch, key, parity: int):
+    def d_losses(d_params_stats: dict, feats, batch, key, parity: int):
         """Total discriminator loss over stop-gradient features; returns
-        (loss, metrics). d_params_stats: {name: (params, stats)}."""
-        raw, fused, low, high, output, _ = forward(base_state, batch)
-        low, high, output = map(jax.lax.stop_gradient, (low, high, output))
+        (loss, metrics). d_params_stats: {name: (params, stats)};
+        feats: the shared (raw, fused, low, high) from the single base
+        forward."""
+        raw, fused, low, high = map(jax.lax.stop_gradient, feats)
+        output = (
+            fuse_routing(raw, fused, batch["is_h36m"])
+            if (is_aggre and fuse_output)
+            else raw
+        )
         n, v = low.shape[0], low.shape[1]
         keys = jax.random.split(key, 8)
         total = 0.0
@@ -190,11 +184,8 @@ def make_adversarial_train_step(model, disc_models: dict, cfg, tx_base,
 
     # ------------------------------------------------------------- G side
 
-    def g_loss(base_params, base_stats, d_states: dict, batch, key, parity: int):
-        (raw, fused, low, high), mut = model.apply(
-            {"params": base_params, "batch_stats": base_stats},
-            batch["images"], train=True, mutable=["batch_stats"],
-        )
+    def g_loss(feats, d_states: dict, batch, key, parity: int):
+        raw, fused, low, high = feats
         output = (
             fuse_routing(raw, fused, batch["is_h36m"])
             if (is_aggre and fuse_output)
@@ -287,7 +278,7 @@ def make_adversarial_train_step(model, disc_models: dict, cfg, tx_base,
                 metrics["jmi_g"] = jl
 
         metrics["loss"] = loss
-        return loss, (mut["batch_stats"], output, metrics)
+        return loss, (output, metrics)
 
     # --------------------------------------------------------- full step
 
@@ -298,16 +289,29 @@ def make_adversarial_train_step(model, disc_models: dict, cfg, tx_base,
         new_states = dict(states)
         metrics = {}
 
+        # ONE base forward per step (the reference also forwards once,
+        # function.py:158): D losses read it stop-gradient, G gradients chain
+        # back through the recorded vjp — halves the adversarial step cost
+        # vs re-running the model on the G side.
+        def fwd(params):
+            (raw, fused, low, high), mut = model.apply(
+                {"params": params, "batch_stats": base.batch_stats},
+                batch["images"], train=True, mutable=["batch_stats"],
+            )
+            if fused is None:  # static: aggre off
+                fused = raw
+            return (raw, fused, low, high), mut["batch_stats"]
+
+        feats, vjp_fn, new_stats = jax.vjp(fwd, base.params, has_aux=True)
+
         d_names = [n for n in states if n != "base_model"]
         if d_names:
-            d_ps = {n: (states[n].params, states[n].batch_stats) for n in d_names}
-
             def d_total(params_dict):
                 ps = {n: (params_dict[n], states[n].batch_stats) for n in d_names}
-                return d_losses(ps, base, batch, kd, epoch_parity)
+                return d_losses(ps, feats, batch, kd, epoch_parity)
 
             grads, d_metrics = jax.grad(
-                lambda pd: d_total(pd), has_aux=True
+                d_total, has_aux=True
             )({n: states[n].params for n in d_names})
             metrics.update(d_metrics)
             for n in d_names:
@@ -319,9 +323,10 @@ def make_adversarial_train_step(model, disc_models: dict, cfg, tx_base,
                     new_params, states[n].batch_stats, new_opt, states[n].step + 1
                 )
 
-        grads, (new_stats, raw, g_metrics) = jax.grad(
+        feat_grads, (output, g_metrics) = jax.grad(
             g_loss, has_aux=True
-        )(base.params, base.batch_stats, new_states, batch, kg, epoch_parity)
+        )(feats, new_states, batch, kg, epoch_parity)
+        (grads,) = vjp_fn(feat_grads)
         metrics.update(g_metrics)
         updates, new_opt = tx_base.update(grads, base.opt_state, base.params)
         new_params = optax.apply_updates(base.params, updates)
@@ -329,6 +334,7 @@ def make_adversarial_train_step(model, disc_models: dict, cfg, tx_base,
             new_params, new_stats, new_opt, base.step + 1
         )
 
+        raw = output
         n, v = raw.shape[0], raw.shape[1]
         hm_pred = jnp.moveaxis(raw, -1, 2).reshape(n * v, raw.shape[-1], *raw.shape[2:4])
         hm_gt = jnp.moveaxis(batch["target"], -1, 2).reshape(
