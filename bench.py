@@ -21,6 +21,7 @@ import time
 import numpy as np
 
 BASELINE_FPS = 5000.0  # /root/repo/BASELINE.json north star
+LOOP_INSIDE = 10  # pipeline steps per host fetch (amortises tunnel RTT)
 
 
 def _build_int8(batch):
@@ -61,8 +62,7 @@ def _build_int8(batch):
     is_h36m = jnp.ones((batch,), jnp.float32)
     params = {"q": qparams, "qagg": qagg}
 
-    @jax.jit
-    def pipeline(params, x):
+    def one(params, x):
         flat = x.reshape((batch * 4,) + x.shape[2:])
         hm = qfwd(params["q"], flat)  # [N*4, h, w, J]
         raw = hm.reshape((batch, 4) + hm.shape[1:])
@@ -71,6 +71,15 @@ def _build_int8(batch):
         preds, maxvals = final_preds(out, center, scale)
         pts3d = triangulate_points(preds, cams, maxvals > 0.0)
         return jnp.sum(pts3d) + jnp.sum(preds)
+
+    @jax.jit
+    def pipeline(params, x):
+        # LOOP_INSIDE steps chained by a data dependence: one host fetch per
+        # LOOP_INSIDE pipeline runs, so tunnel round-trip jitter is amortised
+        def body(i, acc):
+            return acc + one(params, x + acc * 1e-30)
+
+        return jax.lax.fori_loop(0, LOOP_INSIDE, body, jnp.float32(0.0))
 
     return pipeline, params, x
 
@@ -99,14 +108,20 @@ def _build(batch):
     scale = jnp.full((batch, 4, 2), 2.5, jnp.float32)
     is_h36m = jnp.ones((batch,), jnp.float32)
 
-    @jax.jit
-    def pipeline(variables, x):
+    def one(variables, x):
         raw, fused, _, _ = model.apply(variables, x, train=False)
         out = fuse_routing(raw, fused, is_h36m)
         preds, maxvals = final_preds(out, center, scale)
         pts3d = triangulate_points(preds, cams, maxvals > 0.0)
         # scalar forces full execution on fetch
         return jnp.sum(pts3d) + jnp.sum(preds)
+
+    @jax.jit
+    def pipeline(variables, x):
+        def body(i, acc):
+            return acc + one(variables, x + acc * 1e-30)
+
+        return jax.lax.fori_loop(0, LOOP_INSIDE, body, jnp.float32(0.0))
 
     return pipeline, variables, x
 
@@ -120,20 +135,24 @@ def _tunnel_rtt():
         return x + 1.0
 
     float(nop(jnp.float32(0)))
-    t0 = time.perf_counter()
+    samples = []
     for i in range(10):
+        t0 = time.perf_counter()
         float(nop(jnp.float32(i)))
-    return (time.perf_counter() - t0) / 10
+        samples.append(time.perf_counter() - t0)
+    # subtract the MINIMUM round-trip: conservative (never credits tunnel
+    # jitter to the pipeline)
+    return min(samples)
 
 
-def _measure(pipeline, params, x, batch, rtt, reps=10):
+def _measure(pipeline, params, x, batch, rtt, reps=4):
     float(pipeline(params, x))  # compile + warm
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(pipeline(params, x))
         times.append(time.perf_counter() - t0)
-    net = max(min(times) - rtt, 1e-6)
+    net = max((min(times) - rtt) / LOOP_INSIDE, 1e-6)
     return batch / net
 
 

@@ -88,6 +88,17 @@ def main():
     if args.batch:
         cfg.TRAIN.BATCH_SIZE = args.batch
 
+    # cluster preemption: fail fast and rely on ON_SERVER_CLUSTER auto-resume
+    # (the reference installs the same fatal SIGTERM handler, train.py:47-48)
+    import signal
+    import sys as _sys
+
+    def _sigterm(_sig, _frm):
+        print("SIGTERM received — exiting for cluster resume", file=_sys.stderr)
+        raise SystemExit(143)
+
+    signal.signal(signal.SIGTERM, _sigterm)
+
     initialize_distributed(
         args.coordinator or None, args.num_processes or None, args.process_id
     )
