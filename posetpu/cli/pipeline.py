@@ -42,9 +42,9 @@ def default_stage_fns(args, log=print):
         from posetpu.data.prepare import make_prepare_fn
         from posetpu.data.registry import get_dataset
         from posetpu.train.checkpoint import CheckpointManager
-        from posetpu.train.loop import train_epoch, validate
+        from posetpu.train.loop import train_epoch
         from posetpu.train.optim import make_optimizer
-        from posetpu.train.step import init_train_state, make_eval_step, make_train_step
+        from posetpu.train.step import init_train_state, make_train_step
         from posetpu.utils.logging import create_logger
 
         logger, output_dir, _ = create_logger(cfg, args.cfg, f"pipeline_it{it}")

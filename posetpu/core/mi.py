@@ -48,10 +48,6 @@ def gumbel_topk_rows(key, log_weights, k: int):
     return idx
 
 
-def _uniform_log_weights(shape):
-    return jnp.zeros(shape, jnp.float32)
-
-
 # ----------------------------------------------------- local MI (DIM-style)
 
 
@@ -146,7 +142,7 @@ def extract_local_pairs_joint(
     """
     n, h, w, c = features.shape
     j = joints_crop.shape[1]
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2 = jax.random.split(key)
 
     flat = features.reshape(n, h * w, c)
     cells = _gt_heatmap_cells(joints_crop, feat_stride, h)
