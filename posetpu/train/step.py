@@ -146,6 +146,9 @@ def make_eval_step(model, cfg, flip_pairs=None) -> Callable:
     shift = bool(cfg.TEST.SHIFT_HEATMAP)
     post = bool(cfg.TEST.POST_PROCESS)
     use_tw = bool(cfg.LOSS.USE_TARGET_WEIGHT)
+    use_consistent = bool(cfg.LOSS.USE_CONSISTENT_LOSS)
+    pseudo_mse = bool(cfg.DATASET.PSEUDO_LABEL_PATH)
+    mse_w = float(cfg.LOSS.MSE_LOSS_WEIGHT)
     pairs = tuple(tuple(p) for p in (flip_pairs or ()))
 
     @jax.jit
@@ -166,6 +169,7 @@ def make_eval_step(model, cfg, flip_pairs=None) -> Callable:
                 fuse_routing(raw2, fused2, m2) if (is_aggre and fuse_output) else raw2
             )
             raw = raw2[:n]
+            fused = fused2[:n] if fused2 is not None else None
             output = flip_test_merge(out2[:n], out2[n:], pairs, shift=shift)
         else:
             raw, fused, _, _ = model.apply(variables, batch["images"], train=False)
@@ -177,6 +181,11 @@ def make_eval_step(model, cfg, flip_pairs=None) -> Callable:
 
         tw = batch["weight"] if use_tw else None
         loss = joints_mse_loss(raw, batch["target"], tw) * raw.shape[1]
+        # validate()'s optional extra loss terms (function.py:596-609)
+        if is_aggre and use_consistent and fused is not None:
+            loss = loss + consistency_loss(raw, fused, is_h36m)
+        if is_aggre and pseudo_mse:
+            loss = loss + joints_mse_loss(output, batch["target"], tw)                 * raw.shape[1] * mse_w
 
         n, v = raw.shape[0], raw.shape[1]
         hm_pred = jnp.moveaxis(output, -1, 2).reshape(

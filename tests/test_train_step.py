@@ -179,3 +179,20 @@ def test_eval_step_sharded_matches_single_device(rng):
     np.testing.assert_allclose(
         float(single["loss"]), float(sharded["loss"]), rtol=1e-4
     )
+
+
+def test_eval_step_extra_loss_terms(rng):
+    cfg = _tiny_cfg()
+    cfg.LOSS.USE_CONSISTENT_LOSS = True
+    cfg.DATASET.PSEUDO_LABEL_PATH = "some.h5"  # enables the pseudo MSE term
+    model = MultiViewPose(resnet=get_pose_net(cfg), aggre=True)
+    x = jnp.asarray(rng.randn(1, 4, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    eval_step = make_eval_step(model, cfg, flip_pairs=FLIP_PAIRS)
+    batch = jax.tree.map(jnp.asarray, _batch(2, rng))
+    out = eval_step(variables, batch)
+    cfg2 = _tiny_cfg()
+    base = make_eval_step(MultiViewPose(resnet=get_pose_net(cfg2), aggre=True),
+                          cfg2, flip_pairs=FLIP_PAIRS)(variables, batch)
+    # extra terms add to the loss
+    assert float(out["loss"]) > float(base["loss"])
