@@ -27,6 +27,10 @@ def parse_args():
     p.add_argument("--fund", action="store_true", help="epipolar loss from iter 2")
     p.add_argument("--no-distortion", action="store_true")
     p.add_argument("--epochs", type=int, default=0)
+    p.add_argument(
+        "--fresh", action="store_true",
+        help="ignore any saved pipeline state and restart from iteration 0",
+    )
     return p.parse_args()
 
 
@@ -123,16 +127,56 @@ def default_stage_fns(args, log=print):
     return train_fn, validate_fn, mint_fn
 
 
+def pipeline_state_path(cfg, args) -> str:
+    """Where the cross-iteration resume record lives — alongside the train
+    output dir so a preempted-and-restarted job finds it."""
+    from posetpu.config import get_model_name
+
+    model_name, _ = get_model_name(cfg)
+    cfg_name = getattr(args, "cfg", "") or ""
+    cfg_base = os.path.splitext(os.path.basename(cfg_name))[0] or "default"
+    d = os.path.join(
+        cfg.OUTPUT_DIR, cfg.DATASET.TRAIN_DATASET, model_name, cfg_base
+    )
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "pipeline_state.json")
+
+
 def run_pipeline(cfg, args, train_fn=None, validate_fn=None, mint_fn=None, log=print):
     """One full self-training run. The stage functions are injectable for
-    testing; the defaults wire the real library stages in-process."""
+    testing; the defaults wire the real library stages in-process.
+
+    Iteration-level resume: after each completed iteration the (next
+    iteration index, pseudo-label path) pair is persisted; a restarted
+    pipeline skips the finished iterations — the reference's cluster-resume
+    semantics (run/pose2d/train.py:277-286, lib/utils/utils.py:87-107), which
+    store the pipeline iteration inside the torch checkpoint dict.
+    """
+    import json
+
     from posetpu.config import clone
 
     if train_fn is None:
         train_fn, validate_fn, mint_fn = default_stage_fns(args, log=log)
 
+    state_file = pipeline_state_path(cfg, args)
+    start_it = 0
     pseudo_path = ""
-    for it in range(args.repeats):
+    if getattr(args, "fresh", False):
+        if os.path.exists(state_file):
+            os.remove(state_file)
+    elif os.path.exists(state_file):
+        with open(state_file) as f:
+            saved = json.load(f)
+        start_it = int(saved.get("next_iteration", 0))
+        pseudo_path = saved.get("pseudo_path", "")
+        if start_it > 0:
+            log(
+                f"=> pipeline resume: iterations 0..{start_it - 1} already "
+                f"complete, continuing at iteration {start_it}"
+            )
+
+    for it in range(start_it, args.repeats):
         log(f"==== pipeline iteration {it} ====")
         it_cfg = clone(cfg)
         if args.fund and it >= 1:
@@ -141,6 +185,10 @@ def run_pipeline(cfg, args, train_fn=None, validate_fn=None, mint_fn=None, log=p
         heatmap_path = validate_fn(it_cfg, state_path, it)
         pseudo_path = mint_fn(it_cfg, heatmap_path, it)
         log(f"iteration {it}: pseudo labels at {pseudo_path}")
+        with open(state_file, "w") as f:
+            json.dump(
+                {"next_iteration": it + 1, "pseudo_path": pseudo_path}, f
+            )
     return pseudo_path
 
 

@@ -280,6 +280,99 @@ def make_adversarial_train_step(model, disc_models: dict, cfg, tx_base,
         metrics["loss"] = loss
         return loss, (output, metrics)
 
+    # ----------------------------------------------------- grad-norm probe
+
+    watch_grad = bool(cfg.LOSS.WATCH_GRAD_NORM)
+
+    def g_grad_norm_probe(feats, d_states, batch, key, parity: int):
+        """Per-loss grad norms w.r.t. raw heatmaps for the generator-side
+        terms (the reference's WATCH_GRAD_NORM dict: mse/fund + parity-gated
+        MI g terms, function.py:352-362). Divergence: fused heatmaps are held
+        fixed, so gradients reach raw through fuse_routing's direct blend but
+        not back through the aggregation einsum — cheap and close enough for
+        a relative-magnitude diagnostic."""
+        from posetpu.utils.gradients import grad_norms_wrt_heatmaps
+
+        raw0, fused0, low0, _ = feats
+        tw = batch["weight"] if use_tw else None
+        keys = jax.random.split(key, 8)
+        frac = h36m_frac(batch)
+        nviews = raw0.shape[1]
+
+        def mk(name):
+            st = d_states[name]
+            return _disc_apply(
+                disc_models[name],
+                TrainState(
+                    jax.lax.stop_gradient(st.params), st.batch_stats, None, 0
+                ),
+            )
+
+        def out_of(r):
+            return (
+                fuse_routing(r, fused0, batch["is_h36m"])
+                if (is_aggre and fuse_output)
+                else r
+            )
+
+        def mse_term(r):
+            m = joints_mse_loss(r, batch["target"], tw) * nviews * w["mse"]
+            if is_aggre:
+                m = m + joints_mse_loss(out_of(r), batch["target"], tw) * nviews * w["mse"]
+            return m
+
+        terms = {"mse": mse_term}
+        if use["fund"]:
+            def fund_term(r):
+                j2d = joints2d_of(out_of(r), batch)
+                fl = fundamental_loss(
+                    j2d, batch["weight"], batch["fmats"],
+                    sample_mask=batch["is_h36m"],
+                )
+                n_h36m = jnp.maximum(jnp.sum(batch["is_h36m"]), 1.0)
+                return fl * (j2d.shape[0] / n_h36m) * w["fund"]
+
+            terms["fund"] = fund_term
+        if use["heatmap"] and parity == 1:
+            d_hm = mk("heatmap_discriminator")
+
+            def hmi_term(r):
+                o = out_of(r)
+                hl = 0.0
+                for view in range(nviews):
+                    hl = hl + heatmap_mi_loss(
+                        jax.random.fold_in(keys[1], view), d_hm,
+                        low0[:, view], o[:, view],
+                        batch["joints_crop"][:, view],
+                        batch["joints_vis"][:, view],
+                        cfg, joint_idx,
+                    ) * w["heatmap"]
+                return hl
+
+            terms["hmi_g"] = hmi_term
+        if use["view"] and parity == 1:
+            d_view = mk("view_discriminator")
+
+            def vmi_term(r):
+                j2d = joints2d_of(out_of(r), batch)
+                return view_mi_loss(d_view, j2d, view1_num, view_measure) * frac * w["view"]
+
+            terms["vmi_g"] = vmi_term
+        if use["joints"] and parity == 1:
+            d_joints = mk("joints_discriminator")
+
+            def jmi_term(r):
+                j2d = joints2d_of(out_of(r), batch)
+                jl = 0.0
+                for view in range(nviews):
+                    jl = jl + joints_mi_loss(
+                        d_joints, j2d[:, view], var1_idx, joints_measure
+                    )
+                return jl * frac * w["joints"]
+
+            terms["jmi_g"] = jmi_term
+        return grad_norms_wrt_heatmaps(terms, raw0)
+
     # --------------------------------------------------------- full step
 
     @partial(jax.jit, static_argnames=("epoch_parity",))
@@ -328,6 +421,10 @@ def make_adversarial_train_step(model, disc_models: dict, cfg, tx_base,
         )(feats, new_states, batch, kg, epoch_parity)
         (grads,) = vjp_fn(feat_grads)
         metrics.update(g_metrics)
+        if watch_grad:
+            probes = g_grad_norm_probe(feats, new_states, batch, kg, epoch_parity)
+            for k, v in probes.items():
+                metrics[f"grad_norm_{k}"] = v
         updates, new_opt = tx_base.update(grads, base.opt_state, base.params)
         new_params = optax.apply_updates(base.params, updates)
         new_states["base_model"] = TrainState(

@@ -57,6 +57,7 @@ def make_train_step(model, cfg, tx) -> Callable:
     use_fund = bool(cfg.LOSS.USE_FUNDAMENTAL_LOSS)
     use_tw = bool(cfg.LOSS.USE_TARGET_WEIGHT)
     use_tw_fund = bool(cfg.LOSS.USE_TARGET_WEIGHT_FUND)
+    watch_grad = bool(cfg.LOSS.WATCH_GRAD_NORM)
     mse_w = float(cfg.LOSS.MSE_LOSS_WEIGHT)
     cons_w = float(cfg.LOSS.CONSISTENT_LOSS_WEIGHT)
     fund_w = float(cfg.LOSS.FUNDAMENTAL_LOSS_WEIGHT)
@@ -108,15 +109,73 @@ def make_train_step(model, cfg, tx) -> Callable:
             metrics["fund_loss"] = fl
 
         metrics["loss"] = loss
-        return loss, (mut["batch_stats"], output, metrics)
+        return loss, (mut["batch_stats"], output, raw, metrics)
+
+    def grad_norm_probe(params, raw, batch):
+        """Per-loss grad norms w.r.t. the raw heatmaps (the reference's
+        WATCH_GRAD_NORM hook, function.py:352-362) — recomputes the cheap
+        downstream-of-the-backbone graph (aggregation einsum + losses) per
+        term; the backbone forward is NOT re-run."""
+        from posetpu.models.multiview import Aggregation
+        from posetpu.utils.gradients import grad_norms_wrt_heatmaps
+
+        tw = batch["weight"] if use_tw else None
+        is_h36m = batch["is_h36m"]
+        nviews = raw.shape[1]
+
+        def downstream(r):
+            fused = None
+            if is_aggre:
+                fused = Aggregation(heatmap_size=r.shape[2]).apply(
+                    {"params": params["aggre_layer"]}, r
+                )
+            out = (
+                fuse_routing(r, fused, is_h36m)
+                if (is_aggre and fuse_output)
+                else r
+            )
+            return fused, out
+
+        def mse_term(r):
+            _, out = downstream(r)
+            m = joints_mse_loss(r, batch["target"], tw) * nviews * mse_w
+            if is_aggre:
+                m = m + joints_mse_loss(out, batch["target"], tw) * nviews * mse_w
+            return m
+
+        terms = {"mse": mse_term}
+        if is_aggre and use_consistent:
+            def cons_term(r):
+                fused, _ = downstream(r)
+                return consistency_loss(r, fused, is_h36m) * cons_w
+
+            terms["consistent"] = cons_term
+        if use_fund:
+            def fund_term(r):
+                _, out = downstream(r)
+                j2d = _integral_joints_image_coords(
+                    out, batch["center"], batch["scale"], hm_size
+                )
+                fl = fundamental_loss(
+                    j2d, batch["weight"], batch["fmats"],
+                    sample_mask=is_h36m, use_target_weight=use_tw_fund,
+                )
+                n_h36m = jnp.maximum(jnp.sum(is_h36m), 1.0)
+                return fl * (j2d.shape[0] / n_h36m) * fund_w
+
+            terms["fund"] = fund_term
+        return grad_norms_wrt_heatmaps(terms, raw)
 
     @jax.jit
     def train_step(state: TrainState, batch):
         # accuracy is computed on the (fused) output, like the reference
         # (function.py:463-466)
-        grads, (new_stats, raw, metrics) = jax.grad(loss_fn, has_aux=True)(
+        grads, (new_stats, raw, raw_hm, metrics) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch
         )
+        if watch_grad:
+            for k, v in grad_norm_probe(state.params, raw_hm, batch).items():
+                metrics[f"grad_norm_{k}"] = v
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 

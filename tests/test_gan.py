@@ -151,6 +151,33 @@ def test_adversarial_step_both_parities(rng):
     assert np.abs(p1 - p0).max() > 0
 
 
+def test_adversarial_step_watch_grad_norm(rng):
+    """WATCH_GRAD_NORM on the adversarial step emits per-loss grad norms for
+    mse + the parity-gated MI generator terms (function.py:352-362)."""
+    cfg = _cfg()
+    cfg.LOSS.WATCH_GRAD_NORM = True
+    model = MultiViewPose(resnet=get_pose_net(cfg), aggre=True)
+    discs = build_discriminators(cfg)
+    tx_base = make_optimizer(cfg, 10)
+    tx_disc = {n: make_optimizer(cfg, 10, discriminator=True) for n in discs}
+    batch = _batch(4, rng)
+    base = init_train_state(model, cfg, tx_base, batch)
+    d_states = init_discriminator_states(
+        cfg, discs, tx_disc, batch, model, base.variables
+    )
+    states = {"base_model": base, **d_states}
+    step = make_adversarial_train_step(model, discs, cfg, tx_base, tx_disc)
+
+    _, m0 = step(states, batch, jax.random.PRNGKey(0), epoch_parity=0)
+    assert np.isfinite(float(m0["grad_norm_mse"])) and float(m0["grad_norm_mse"]) > 0
+    assert "grad_norm_hmi_g" not in m0  # parity-gated like the loss itself
+
+    _, m1 = step(states, batch, jax.random.PRNGKey(0), epoch_parity=1)
+    for k in ("grad_norm_mse", "grad_norm_hmi_g", "grad_norm_vmi_g",
+              "grad_norm_jmi_g"):
+        assert k in m1 and np.isfinite(float(m1[k])), k
+
+
 def test_domain_gan_drives_discriminator_accuracy(rng):
     """Sanity: with fixed separable features, D accuracy rises over steps."""
     cfg = default_config()

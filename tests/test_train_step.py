@@ -66,6 +66,24 @@ def test_train_step_with_all_deterministic_losses(rng):
         assert np.isfinite(float(metrics[k])), k
 
 
+def test_watch_grad_norm_emits_metrics(rng):
+    """LOSS.WATCH_GRAD_NORM wires the per-loss grad-norm probe into the
+    jitted step (reference: function.py:352-362)."""
+    cfg = _tiny_cfg()
+    cfg.LOSS.WATCH_GRAD_NORM = True
+    cfg.LOSS.USE_CONSISTENT_LOSS = True
+    cfg.LOSS.USE_FUNDAMENTAL_LOSS = True
+    model = MultiViewPose(resnet=get_pose_net(cfg), aggre=True)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    step = make_train_step(model, cfg, tx)
+    batch = jax.tree.map(jnp.asarray, _batch(2, rng, with_fund=True))
+    state = init_train_state(model, cfg, tx, batch)
+    _, metrics = step(state, batch)
+    for k in ("grad_norm_mse", "grad_norm_consistent", "grad_norm_fund"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    assert float(metrics["grad_norm_mse"]) > 0
+
+
 def test_train_step_sharded_matches_single_device(rng):
     """The DP-sharded step computes the same update as the unsharded one —
     the pjit equivalent of DDP allreduce correctness."""
