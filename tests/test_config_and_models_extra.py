@@ -48,6 +48,22 @@ def test_resnet152_builds_and_runs(rng):
     assert 55e6 < n_params < 80e6  # resnet152 backbone + head
 
 
+def test_all_experiment_presets_load():
+    """Every committed preset parses through the strict loader, covering all
+    hand-written reference config families (reference: experiments/**)."""
+    import glob
+
+    root = os.path.join(os.path.dirname(__file__), "..", "experiments")
+    paths = sorted(glob.glob(os.path.join(root, "**", "*.yaml"), recursive=True))
+    assert len(paths) >= 20, f"preset tree too thin: {len(paths)}"
+    families = set()
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.NETWORK.IMAGE_SIZE[0] >= 64
+        families.add(os.path.relpath(p, root).split(os.sep)[0])
+    assert {"mpii", "mixed", "multiview_h36m", "coco", "coco_mpii"} <= families
+
+
 def test_config_dump_roundtrip(tmp_path):
     cfg = default_config()
     cfg.TRAIN.BATCH_SIZE = 13
