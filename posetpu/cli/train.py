@@ -74,7 +74,13 @@ def main():
     from posetpu.data.loader import GroupLoader
     from posetpu.data.prepare import make_prepare_fn
     from posetpu.data.registry import get_dataset
-    from posetpu.parallel.mesh import data_mesh, initialize_distributed, replicate
+    from posetpu.parallel.mesh import (
+        data_mesh,
+        global_batch_from_full_host,
+        initialize_distributed,
+        replicate,
+        shard_host_batch,
+    )
     from posetpu.train.checkpoint import CheckpointManager
     from posetpu.train.loop import train_epoch, validate
     from posetpu.train.optim import make_optimizer
@@ -133,9 +139,26 @@ def main():
     )
     logger.info(f"train groups: {len(train_ds)}, test groups: {len(test_ds)}")
 
+    # the 1-D data mesh over every device of every process (the DDP world,
+    # train.py:129-225); batches are sharded on axis 0, params replicated
+    mesh = data_mesh()
+    logger.info(f"data mesh: {mesh.devices.size} devices, "
+                f"{n_proc} process(es)")
+    local_ndev = jax.local_device_count()
+    assert cfg.TRAIN.BATCH_SIZE % local_ndev == 0, (
+        f"TRAIN.BATCH_SIZE ({cfg.TRAIN.BATCH_SIZE}) must be a multiple of "
+        f"the local device count ({local_ndev}) for even batch sharding"
+    )
+    assert cfg.TEST.BATCH_SIZE % mesh.devices.size == 0, (
+        f"TEST.BATCH_SIZE ({cfg.TEST.BATCH_SIZE}) must be a multiple of the "
+        f"total device count ({mesh.devices.size})"
+    )
+
     model = build_model(cfg, bf16=not args.f32)
     tx = make_optimizer(cfg, steps_per_epoch=max(len(train_loader), 1))
-    eval_step = make_eval_step(model, cfg, flip_pairs=train_ds.flip_pairs)
+    eval_step = make_eval_step(
+        model, cfg, flip_pairs=train_ds.flip_pairs, mesh=mesh
+    )
     prepare = make_prepare_fn(cfg)
 
     sample = prepare(next(iter(train_loader)))
@@ -205,8 +228,14 @@ def main():
 
     extra = build_fund_extra(cfg, train_ds) if cfg.LOSS.USE_FUNDAMENTAL_LOSS else None
 
-    mesh = data_mesh()
     best_perf = -1.0
+    is_primary = jax.process_index() == 0
+
+    def train_place(tree):
+        return shard_host_batch(tree, mesh)
+
+    def eval_place(tree):
+        return global_batch_from_full_host(tree, mesh)
 
     with mesh:
         state = replicate(state, mesh)
@@ -215,21 +244,26 @@ def main():
                 run_ctx["parity"] = epoch % 2
             state = train_epoch(
                 cfg, train_loader, prepare, train_step, state, epoch,
-                logger=logger, writer=writer, extra_batch_fn=extra,
+                logger=logger if is_primary else None,
+                writer=writer if is_primary else None,
+                extra_batch_fn=extra, place_fn=train_place,
                 debug_dir=os.path.join(output_dir, "debug")
-                if cfg.DEBUG.DEBUG else None,
+                if (cfg.DEBUG.DEBUG and is_primary) else None,
             )
-            if jax.process_index() == 0:
-                perf, _, _, _ = validate(
-                    cfg, test_loader, test_ds, eval_step, base_of(state).variables,
-                    output_dir=output_dir, logger=logger,
-                )
+            # every process runs the (collective) eval; validate() itself
+            # writes outputs on process 0 only
+            perf, _, _, _ = validate(
+                cfg, test_loader, test_ds, eval_step, base_of(state).variables,
+                output_dir=output_dir, logger=logger, place_fn=eval_place,
+            )
+            if is_primary:
                 writer.add_scalar("valid_perf", perf, epoch)
-                is_best = perf > best_perf
-                best_perf = max(best_perf, perf)
-                ckpt.save_epoch(epoch + 1, states_of(state), perf, is_best)
-    if jax.process_index() == 0:
+            is_best = perf > best_perf
+            best_perf = max(best_perf, perf)
+            # orbax save is collective — all processes participate
+            ckpt.save_epoch(epoch + 1, states_of(state), perf, is_best)
         ckpt.save_final(states_of(state))
+    if is_primary:
         logger.info(f"done; best perf {best_perf:.4f}")
 
 

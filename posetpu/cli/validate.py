@@ -86,12 +86,34 @@ def main():
             aggre_apply=aggre_apply,
         )
         logger.info("=> serving the int8 PTQ trunk")
-    else:
-        eval_step = make_eval_step(model, cfg, flip_pairs=dataset.flip_pairs)
-    perf, name_values, _, _ = validate(
-        cfg, loader, dataset, eval_step, variables,
-        output_dir=output_dir, logger=logger,
+        perf, name_values, _, _ = validate(
+            cfg, loader, dataset, eval_step, variables,
+            output_dir=output_dir, logger=logger,
+        )
+        logger.info(f"perf indicator: {perf:.4f}")
+        return perf
+
+    # eval scale-out over every local device (the nn.DataParallel equivalent,
+    # run/pose2d/valid.py:169-171): batches sharded over a 1-D data mesh,
+    # outputs gathered replicated in-graph
+    from posetpu.parallel.mesh import data_mesh, global_batch_from_full_host
+
+    mesh = data_mesh()
+    use_mesh = (
+        mesh.devices.size > 1
+        and cfg.TEST.BATCH_SIZE % mesh.devices.size == 0
     )
+    eval_step = make_eval_step(
+        model, cfg, flip_pairs=dataset.flip_pairs,
+        mesh=mesh if use_mesh else None,
+    )
+    place = (lambda t: global_batch_from_full_host(t, mesh)) if use_mesh else None
+    logger.info(f"eval devices: {mesh.devices.size if use_mesh else 1}")
+    with mesh:
+        perf, name_values, _, _ = validate(
+            cfg, loader, dataset, eval_step, variables,
+            output_dir=output_dir, logger=logger, place_fn=place,
+        )
     logger.info(f"perf indicator: {perf:.4f}")
     return perf
 

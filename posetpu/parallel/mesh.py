@@ -56,3 +56,37 @@ def replicate(tree, mesh: Mesh):
     """Replicate params/state across the mesh."""
     r = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+
+
+def shard_host_batch(batch, mesh: Mesh):
+    """Per-process host batch -> global batch sharded on axis 0.
+
+    Single process: a plain sharded device_put. Multi-process (multi-host
+    TPU): each process contributes its local shard of the global batch
+    (``jax.make_array_from_process_local_data``) — the loader must be sharded
+    with num_shards=process_count so locals concatenate to the global batch,
+    mirroring the reference's DistributedSampler split
+    (lib/utils/utils.py:134-141)."""
+    s = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch,
+    )
+
+
+def global_batch_from_full_host(batch, mesh: Mesh):
+    """Identical full host batch on EVERY process -> batch-sharded global
+    arrays. Used by validate, where all processes iterate the full test set
+    in lockstep (collective-safe: every process participates in the eval
+    step's compute and gather; only process 0 writes outputs)."""
+    s = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if jax.process_count() == 1:
+            return jax.device_put(x, s)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree.map(put, batch)

@@ -37,8 +37,9 @@ class CheckpointManager:
         path = os.path.join(self.directory, name)
         self._ckpt.save(path, states, force=True)
         self._ckpt.wait_until_finished()
-        with open(os.path.join(self.directory, f"{name}_meta.json"), "w") as f:
-            json.dump(meta or {}, f)
+        if jax.process_index() == 0:  # orbax save is collective; meta is not
+            with open(os.path.join(self.directory, f"{name}_meta.json"), "w") as f:
+                json.dump(meta or {}, f)
         return path
 
     def save_epoch(self, epoch: int, states: dict, perf: float,

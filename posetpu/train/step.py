@@ -19,6 +19,7 @@ at function.py:184-188 that double-adds the raw term when aggregation is on.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable
 
 import jax
@@ -195,10 +196,15 @@ def make_train_step(model, cfg, tx) -> Callable:
     return train_step
 
 
-def make_eval_step(model, cfg, flip_pairs=None) -> Callable:
+def make_eval_step(model, cfg, flip_pairs=None, mesh=None) -> Callable:
     """Build the jitted eval step: forward (+ optional in-graph flip test),
     fuse, losses, accuracy, decode to source-image coords — the device-side
-    body of validate() (function.py:557-644)."""
+    body of validate() (function.py:557-644).
+
+    With ``mesh`` given the outputs are gathered replicated over the mesh
+    (one XLA all-gather over ICI), so every process can fetch the full
+    preds/heatmaps for host accumulation — the TPU-native replacement for
+    the reference's rank-0 numpy accumulation (function.py:642-644)."""
     is_aggre = bool(cfg.NETWORK.AGGRE)
     fuse_output = bool(cfg.TEST.FUSE_OUTPUT)
     flip_test = bool(cfg.TEST.FLIP_TEST)
@@ -210,7 +216,14 @@ def make_eval_step(model, cfg, flip_pairs=None) -> Callable:
     mse_w = float(cfg.LOSS.MSE_LOSS_WEIGHT)
     pairs = tuple(tuple(p) for p in (flip_pairs or ()))
 
-    @jax.jit
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        jit_kwargs = {"out_shardings": NamedSharding(mesh, PartitionSpec())}
+    else:
+        jit_kwargs = {}
+
+    @partial(jax.jit, **jit_kwargs)
     def eval_step(variables, batch):
         is_h36m = batch["is_h36m"]
         if flip_test:

@@ -33,11 +33,9 @@ def _cam_to_dict(cams: CameraParams, v: int) -> dict:
     }
 
 
-@pytest.fixture
-def synth_h36m_root(tmp_path):
+def _build_synth_root(root, n_groups=N_GROUPS):
     """On-disk H36M-format dataset from the synthetic rig: 17-joint GT,
     consistent cameras/projections, camera-frame joints_3d."""
-    root = tmp_path / "data"
     cams = make_camera_ring(image_size=(IMG_W, IMG_H))
     # rescale camera intrinsics to the small synthetic image
     cams = CameraParams(
@@ -46,10 +44,10 @@ def synth_h36m_root(tmp_path):
         c=jnp.full_like(cams.c, IMG_W / 2.0),
         k=cams.k, p=cams.p,
     )
-    pts3d = make_poses3d(N_GROUPS, n_joints=17)
+    pts3d = make_poses3d(n_groups, n_joints=17)
 
     db = []
-    for g in range(N_GROUPS):
+    for g in range(n_groups):
         for v in range(4):
             cam_v = jax.tree.map(lambda x, v=v: x[v], cams)
             pix = np.asarray(project_points(jnp.asarray(pts3d[g]), cam_v))
@@ -85,6 +83,11 @@ def synth_h36m_root(tmp_path):
         with open(root / "h36m" / "annot" / f"h36m_{subset}.pkl", "wb") as f:
             pickle.dump(db, f)
     return root
+
+
+@pytest.fixture
+def synth_h36m_root(tmp_path):
+    return _build_synth_root(tmp_path / "data")
 
 
 def _cfg(root):
@@ -171,6 +174,74 @@ def test_pseudo_label_flow_from_gt(synth_h36m_root, tmp_path):
         - ds2.db[ds2.grouping[0][0]]["joints_2d"][u]
     )
     assert d.max() < 2.0, d.max()
+
+
+def test_cli_train_end_to_end_sharded(tmp_path, monkeypatch):
+    """Drives posetpu.cli.train.main() end-to-end on the 8-device mesh and
+    verifies the real entry point shards every train batch over all devices
+    (VERDICT round-1: the mesh must not be decorative). Covers: sharded
+    prepare + train step, collective-safe validate with H5 dump, and the
+    epoch checkpoint."""
+    import yaml
+
+    import posetpu.parallel.mesh as pmesh
+    from jax.sharding import PartitionSpec
+
+    root = _build_synth_root(tmp_path / "data", n_groups=42)  # ::5 -> 8 groups
+    out_dir = tmp_path / "out"
+    cfg_path = tmp_path / "exp.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.dump({
+            "OUTPUT_DIR": str(out_dir),
+            "LOG_DIR": str(tmp_path / "log"),
+            "DATASET": {"ROOT": str(root), "DATA_FORMAT": "jpg",
+                        "TRAIN_DATASET": "multiview_h36m",
+                        "TEST_DATASET": "multiview_h36m"},
+            "NETWORK": {"AGGRE": True, "IMAGE_SIZE": [64, 64],
+                        "HEATMAP_SIZE": [16, 16]},
+            "POSE_RESNET": {"NUM_LAYERS": 18},
+            # consistency loss gives non-zero grads even though raw h36m
+            # groups carry zero supervision weight without pseudo labels
+            "LOSS": {"USE_CONSISTENT_LOSS": True, "CONSISTENT_LOSS_WEIGHT": 1},
+            "TRAIN": {"BATCH_SIZE": 8, "END_EPOCH": 1, "LR": 0.0001},
+            "TEST": {"BATCH_SIZE": 8, "FUSE_OUTPUT": True},
+            "DEBUG": {"DEBUG": False},
+        }, f)
+
+    seen = {"train": 0, "eval": 0}
+    orig_shard = pmesh.shard_host_batch
+    orig_global = pmesh.global_batch_from_full_host
+
+    def spy_shard(batch, mesh):
+        out = orig_shard(batch, mesh)
+        leaf = out["images"]
+        assert len(leaf.sharding.device_set) == 8, leaf.sharding
+        assert leaf.sharding.spec == PartitionSpec("data")
+        seen["train"] += 1
+        return out
+
+    def spy_global(batch, mesh):
+        out = orig_global(batch, mesh)
+        leaf = next(iter(out.values()))
+        assert len(leaf.sharding.device_set) == 8
+        seen["eval"] += 1
+        return out
+
+    monkeypatch.setattr(pmesh, "shard_host_batch", spy_shard)
+    monkeypatch.setattr(pmesh, "global_batch_from_full_host", spy_global)
+    monkeypatch.setattr(
+        "sys.argv", ["train", "--cfg", str(cfg_path), "--f32"]
+    )
+    from posetpu.cli.train import main
+
+    main()
+
+    assert seen["train"] >= 1 and seen["eval"] >= 1, seen
+    ckpt_root = out_dir / "multiview_h36m" / "multiview_pose_resnet_18" / "exp"
+    assert (ckpt_root / "checkpoint").is_dir()
+    assert (ckpt_root / "final_state").is_dir()
+    h5s = list(ckpt_root.glob("heatmaps_locations_*.h5"))
+    assert h5s, list(ckpt_root.iterdir())
 
 
 def test_undistort_regeneration(synth_h36m_root, tmp_path):
