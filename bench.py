@@ -38,6 +38,7 @@ def _build_int8(batch):
     from posetpu.models.multiview import Aggregation
     from posetpu.models.quant import (
         aggregation_int8_apply,
+        make_u8_quant,
         quantize_aggregation,
         quantize_pose_resnet,
     )
@@ -55,7 +56,13 @@ def _build_int8(batch):
     aggre_vars = aggre.init(key, jnp.zeros((1, 4, 64, 64, 16)))
     qagg = quantize_aggregation(aggre_vars["params"]["weight"])
 
-    x = jax.random.normal(key, (batch, 4, 256, 256, 3), jnp.float32)
+    # serving input is raw uint8 camera frames: the (x/255-mean)/std
+    # normalisation + input quantisation fold into one affine on the bytes
+    # (make_u8_quant), so the pipeline reads 1 B/px instead of 4
+    x = jax.random.randint(key, (batch, 4, 256, 256, 3), 0, 256, jnp.uint8)
+    u8_quant, _ = make_u8_quant(
+        qparams, cfg.DATASET.MEAN, cfg.DATASET.STD
+    )
     cams = tile_cameras(make_camera_ring(), batch)
     center = jnp.full((batch, 4, 2), 500.0, jnp.float32)
     scale = jnp.full((batch, 4, 2), 2.5, jnp.float32)
@@ -64,7 +71,7 @@ def _build_int8(batch):
 
     def one(params, x):
         flat = x.reshape((batch * 4,) + x.shape[2:])
-        hm = qfwd(params["q"], flat)  # [N*4, h, w, J]
+        hm = qfwd(params["q"], u8_quant(flat))  # [N*4, h, w, J]
         raw = hm.reshape((batch, 4) + hm.shape[1:])
         fused = aggregation_int8_apply(params["qagg"], raw)
         out = fuse_routing(raw, fused, is_h36m)
@@ -75,9 +82,12 @@ def _build_int8(batch):
     @jax.jit
     def pipeline(params, x):
         # LOOP_INSIDE steps chained by a data dependence: one host fetch per
-        # LOOP_INSIDE pipeline runs, so tunnel round-trip jitter is amortised
+        # LOOP_INSIDE pipeline runs, so tunnel round-trip jitter is amortised.
+        # The xor ties each iteration's input to the previous result (flips
+        # at most the pixel LSB) so XLA cannot hoist the forward out.
         def body(i, acc):
-            return acc + one(params, x + acc * 1e-30)
+            jit_bit = (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
+            return acc + one(params, jnp.bitwise_xor(x, jit_bit))
 
         return jax.lax.fori_loop(0, LOOP_INSIDE, body, jnp.float32(0.0))
 

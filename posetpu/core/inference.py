@@ -13,7 +13,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from posetpu.ops.affine import transform_preds
-from posetpu.ops.heatmap import decode_heatmaps, flip_back, shift_heatmap_right
+from posetpu.ops.heatmap import (
+    decode_heatmaps_hwj,
+    flip_back,
+    shift_heatmap_right,
+)
 
 
 def fuse_routing(raw, fused, is_h36m_mask, enabled: bool = True):
@@ -44,7 +48,8 @@ def final_preds(heatmaps, center, scale, post_process: bool = True):
     dims. Returns (preds [..., J, 2], maxvals [..., J]).
     """
     h, w = heatmaps.shape[-3:-1]
-    hm = jnp.moveaxis(heatmaps, -1, -3)  # [..., J, h, w]
-    coords, maxvals = decode_heatmaps(hm, post_process=post_process)
+    # decode in the native channels-last layout: no J-major transpose, J
+    # stays on lanes through the reduces (see decode_heatmaps_hwj)
+    coords, maxvals = decode_heatmaps_hwj(heatmaps, post_process=post_process)
     preds = transform_preds(coords, center, scale, (w, h))
     return preds, maxvals

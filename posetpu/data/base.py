@@ -112,10 +112,11 @@ class JointsDataset:
         self.color_jitter = bool(cfg.DATASET.COLOR_JITTER)
         self.num_joints = 16
         self.flip_pairs = union_flip_pairs()
-        # POSETPU_NATIVE_LOADER=1 enables the C++ decode+warp fast path
+        # The C++ decode+warp fast path is ON whenever the shared object is
+        # buildable/present; POSETPU_NATIVE_LOADER=0 forces the Python path.
         import os as _os
 
-        self.use_native_loader = _os.environ.get("POSETPU_NATIVE_LOADER", "0") == "1"
+        self.use_native_loader = _os.environ.get("POSETPU_NATIVE_LOADER", "1") != "0"
         if self.use_native_loader:
             from posetpu import native
 
@@ -159,9 +160,18 @@ class JointsDataset:
             image_dir = ""
         return osp.join(self.root, source, image_dir, "images", rec["image"])
 
-    def load_record(self, idx: int, rs: np.random.RandomState) -> dict[str, Any]:
+    def load_record(self, idx: int, rs: np.random.RandomState,
+                    defer_image: bool = False) -> dict[str, Any]:
         """Process one db record into fixed-shape arrays (the device-free part
-        of joints_dataset_compatible.__getitem__:111-201)."""
+        of joints_dataset_compatible.__getitem__:111-201).
+
+        With ``defer_image=True`` and a native-eligible JPEG record, the
+        image work is NOT done here: the returned dict carries a
+        ``_native_job`` (path, zip member, crop geometry incl. flip) for the
+        C++ threaded batch API plus the ``_state`` needed by
+        :meth:`finalize_record`. GroupLoader collects the jobs of a whole
+        batch into ONE ``ptpu_load_warp_batch_geom`` call — decode + warp run
+        on C++ threads without the GIL."""
         rec = self.db[idx]
         path = self._image_path(rec)
 
@@ -188,10 +198,53 @@ class JointsDataset:
             )
             do_flip = bool(aug["flip"] and rs.random_sample() <= 0.5)
 
-        # native fast path (C++ decode+warp): flips need the raw image width
-        # before decode, so flipped samples fall back to the python path
+        # Jitter draws come from a child stream seeded here, so the parent
+        # stream advances identically whether the image work happens now or
+        # in finalize_record (deferred/native batch ordering).
+        jitter_rs = (
+            np.random.RandomState(rs.randint(1 << 31))
+            if self.color_jitter else None
+        )
+
+        # h36m samples without pseudo labels train with zero weight
+        # (joints_dataset_compatible.py:250-251)
+        supervise = not (rec["source"] == "h36m" and not self.pseudo_label)
+        out = {
+            "supervise": np.float32(supervise),
+            "scale": scale.astype(np.float32),
+            "rotation": np.float32(rotation),
+            "joints_2d": np.asarray(rec["joints_2d"], np.float32),
+            "is_h36m": np.float32(rec["source"] == "h36m"),
+            "subject": np.int32(rec.get("subject", -1) if rec["source"] == "h36m" else -1),
+        }
+        state = {
+            "path": path, "joints": joints, "vis": vis, "center": center,
+            "scale": scale, "rotation": rotation, "do_flip": do_flip,
+            "jitter_rs": jitter_rs,
+        }
+
+        native_ok = self.use_native_loader and path.lower().endswith(
+            (".jpg", ".jpeg")
+        )
+        if defer_image and native_ok:
+            if zipreader.is_zip_path(path):
+                zp, inner = zipreader.split_zip_path(path)
+            else:
+                zp, inner = path, ""
+            out["_native_job"] = (
+                zp, inner,
+                np.array(
+                    [center[0], center[1], float(scale[0]) * 200.0,
+                     rotation, float(do_flip)],
+                    np.float32,
+                ),
+            )
+            out["_state"] = state
+            out["image"] = None
+            return out
+
         warped = None
-        if self.use_native_loader and not do_flip and path.lower().endswith((".jpg", ".jpeg")):
+        if native_ok and not do_flip:
             trans = _affine_matrix_np(center, scale, rotation, self.image_size)
             inv = np.linalg.inv(np.vstack([trans, [0, 0, 1]]))[:2]
             from posetpu import native
@@ -205,45 +258,72 @@ class JointsDataset:
             )
 
         if warped is None:
-            img = zipreader.imread(
-                path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION
-            )
-            if do_flip:
-                img = img[:, ::-1, :]
-                joints, vis = self._flip_joints(joints, vis, img.shape[1])
-                center[0] = img.shape[1] - center[0] - 1
-            trans = _affine_matrix_np(center, scale, rotation, self.image_size)
-            warped = cv2.warpAffine(
-                img,
-                trans,
-                (int(self.image_size[0]), int(self.image_size[1])),
-                flags=cv2.INTER_LINEAR,
-            )
-        if self.color_jitter:
-            warped = _color_jitter(warped, rs)
+            warped, joints, vis, center, trans = self._python_load(state)
+        self._finish_record(out, warped, joints, vis, center, trans, jitter_rs)
+        return out
 
+    def _python_load(self, state):
+        """cv2/zipfile image path: decode, optional flip, warp."""
+        joints, vis = state["joints"], state["vis"]
+        center = state["center"]
+        img = zipreader.imread(
+            state["path"], cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION
+        )
+        if state["do_flip"]:
+            img = img[:, ::-1, :]
+            joints, vis = self._flip_joints(joints, vis, img.shape[1])
+            center = center.copy()
+            center[0] = img.shape[1] - center[0] - 1
+        trans = _affine_matrix_np(
+            center, state["scale"], state["rotation"], self.image_size
+        )
+        warped = cv2.warpAffine(
+            img,
+            trans,
+            (int(self.image_size[0]), int(self.image_size[1])),
+            flags=cv2.INTER_LINEAR,
+        )
+        return warped, joints, vis, center, trans
+
+    def _finish_record(self, out, warped, joints, vis, center, trans, jitter_rs):
+        if jitter_rs is not None:
+            warped = _color_jitter(warped, jitter_rs)
         visible = vis > 0
         j_t = joints.copy()
         if visible.any():
             homo = np.concatenate([joints[visible], np.ones((visible.sum(), 1))], 1)
             j_t[visible] = homo @ trans.T
+        out["image"] = warped  # uint8 BGR [H, W, 3]
+        out["joints_crop"] = j_t.astype(np.float32)
+        out["joints_vis"] = vis.astype(np.float32)
+        out["center"] = center.astype(np.float32)
 
-        # h36m samples without pseudo labels train with zero weight
-        # (joints_dataset_compatible.py:250-251)
-        supervise = not (rec["source"] == "h36m" and not self.pseudo_label)
+    def finalize_record(self, out: dict, img, width: int) -> None:
+        """Complete a deferred record with its natively warped crop.
 
-        return {
-            "image": warped,  # uint8 BGR [H, W, 3]
-            "joints_crop": j_t.astype(np.float32),
-            "joints_vis": vis.astype(np.float32),
-            "supervise": np.float32(supervise),
-            "center": center.astype(np.float32),
-            "scale": scale.astype(np.float32),
-            "rotation": np.float32(rotation),
-            "joints_2d": np.asarray(rec["joints_2d"], np.float32),
-            "is_h36m": np.float32(rec["source"] == "h36m"),
-            "subject": np.int32(rec.get("subject", -1) if rec["source"] == "h36m" else -1),
-        }
+        ``width`` is the raw source-image width the C++ loader reported —
+        the flip joint/center math needs it (fliplr_joints semantics)."""
+        state = out.pop("_state")
+        out.pop("_native_job")
+        joints, vis, center = state["joints"], state["vis"], state["center"]
+        if state["do_flip"]:
+            joints, vis = self._flip_joints(joints, vis, width)
+            center = center.copy()
+            center[0] = width - center[0] - 1
+        trans = _affine_matrix_np(
+            center, state["scale"], state["rotation"], self.image_size
+        )
+        self._finish_record(out, img, joints, vis, center, trans,
+                            state["jitter_rs"])
+
+    def fallback_record(self, out: dict) -> None:
+        """Python-path completion for a deferred record whose native load
+        failed (corrupt file, unsupported coding)."""
+        state = out.pop("_state")
+        out.pop("_native_job")
+        warped, joints, vis, center, trans = self._python_load(state)
+        self._finish_record(out, warped, joints, vis, center, trans,
+                            state["jitter_rs"])
 
     def _flip_joints(self, joints, vis, width):
         """fliplr_joints semantics (transforms.py:50-64) on [J,2]/[J] arrays."""
@@ -255,8 +335,12 @@ class JointsDataset:
             vis[[a, b]] = vis[[b, a]]
         return joints * (vis > 0)[:, None], vis
 
-    def load_group(self, group_idx: int, rs: np.random.RandomState) -> list[dict]:
-        return [self.load_record(i, rs) for i in self.grouping[group_idx]]
+    def load_group(self, group_idx: int, rs: np.random.RandomState,
+                   defer_images: bool = False) -> list[dict]:
+        return [
+            self.load_record(i, rs, defer_image=defer_images)
+            for i in self.grouping[group_idx]
+        ]
 
     def evaluate(self, preds, output_dir=None):
         raise NotImplementedError

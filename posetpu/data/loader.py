@@ -67,6 +67,38 @@ class GroupLoader:
         # len(dataset) groups with replacement proportionally
         self.weights = None
 
+    def _run_native_jobs(self, groups: list[list[dict]]) -> None:
+        """Resolve deferred records with ONE C++ threaded batch call.
+
+        Records carrying a ``_native_job`` (see JointsDataset.load_record)
+        are decoded+warped by ptpu_load_warp_batch_geom on pthreads (no GIL);
+        per-record failures fall back to the Python path."""
+        jobs = [v for g in groups for v in g if "_native_job" in v]
+        if not jobs:
+            return
+        from posetpu import native
+
+        paths = [v["_native_job"][0] for v in jobs]
+        inners = [v["_native_job"][1] for v in jobs]
+        geoms = np.stack([v["_native_job"][2] for v in jobs])
+        h, w = (
+            int(self.dataset.image_size[1]),
+            int(self.dataset.image_size[0]),
+        )
+        res = native.load_warp_batch_geom(
+            paths, inners, geoms, h, w, n_threads=self.num_threads
+        )
+        if res is None:  # lib vanished between eligibility check and call
+            for v in jobs:
+                self.dataset.fallback_record(v)
+            return
+        imgs, widths, _fails = res
+        for v, img, width in zip(jobs, imgs, widths):
+            if width < 0:
+                self.dataset.fallback_record(v)
+            else:
+                self.dataset.finalize_record(v, img, int(width))
+
     def set_weights(self, weights) -> None:
         self.weights = None if weights is None else np.asarray(weights, np.float64)
 
@@ -106,9 +138,12 @@ class GroupLoader:
             rs = np.random.RandomState(
                 (self.seed + self.epoch) * 100003 + b * 1009 + self.shard_index
             )
-            return collate_groups(
-                [self.dataset.load_group(int(g), rs) for g in batch_ids]
-            )
+            groups = [
+                self.dataset.load_group(int(g), rs, defer_images=True)
+                for g in batch_ids
+            ]
+            self._run_native_jobs(groups)
+            return collate_groups(groups)
 
         if self.prefetch <= 0:
             for b, ids in enumerate(batches):

@@ -217,22 +217,56 @@ class _Recorder:
         return y, None
 
 
+def conv_dtype_policy(qparams) -> dict:
+    """Per-site conv compute dtype: "int8" (MXU int8 path) or "bf16".
+
+    Measured on v5e (batch 128): XLA's int8 conv emitter is 2-3x slower than
+    bf16 for low-contraction/wide-output sites (1x1 64->256: 1.01 vs 0.48 ms;
+    128->512: 0.48 vs 0.22) while int8 wins everywhere the contraction is
+    >= 256 (512->2048: 0.09 ms; 3x3 64ch K=576: int8 wins). bf16 stays
+    BIT-EXACT for int8-valued operands when K <= 128: every product is an
+    integer <= 127^2 and |acc| <= 128*127^2 < 2^23, inside bf16-matmul's f32
+    accumulator range — so the policy changes speed, not semantics.
+    """
+    policy = {}
+    for name, wq in qparams["weights"].items():
+        kh, kw, cin, cout = wq.shape
+        k = kh * kw * cin
+        if k <= 128 and cout >= 256:
+            policy[name] = "bf16"
+    return policy
+
+
 class _Int8Runner:
     """int8-mode executor. Invariant: every tensor that crosses an HBM
     boundary (block outputs, intra-block activations, branch outputs) is int8
     with a calibrated scale; the dequantize -> affine -> ReLU -> requantize
     chains live fused in each conv's epilogue (f32 only in registers).
     Carrying f32/int32 between blocks doubles the bandwidth the early stages
-    are bound by — measured as a net slowdown vs bf16."""
+    are bound by — measured as a net slowdown vs bf16.
 
-    def __init__(self, qparams):
+    ``policy`` (see :func:`conv_dtype_policy`) may route individual conv
+    sites through the bf16 MXU path where XLA's int8 emitter is slow."""
+
+    def __init__(self, qparams, policy=None):
         self.q = qparams
+        self.policy = policy or {}
+
+    def _conv_q(self, h_q, name, **kw):
+        wq = self.q["weights"][name]
+        if self.policy.get(name) == "bf16":
+            y = _conv(h_q.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
+                      prefer=jnp.float32, **kw)
+            return y  # f32, integer-valued (K<=128 exactness, see policy)
+        return _conv(h_q, wq, prefer=jnp.int32, **kw)
 
     def _quant(self, x, scale):
         return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
 
     def input(self, x):
         s = self.q["act_scales"]["input"]
+        if x.dtype == jnp.int8:  # pre-quantized (e.g. make_u8_quant front end)
+            return x, s
         return self._quant(x, s), s
 
     def qchain(self, h_q, s_h, name, stride=1, relu=True, subpixel=False, **kw):
@@ -251,17 +285,16 @@ class _Int8Runner:
                 zf = jax.nn.relu(zf)
             z_q = self._quant(zf, s_out)
             return _subpixel_interleave(z_q, h_q.shape[1], h_q.shape[2]), s_out
-        y = _conv(h_q, wq, stride=stride, prefer=jnp.int32, **kw)
+        y = self._conv_q(h_q, name, stride=stride, **kw)
         y = y.astype(jnp.float32) * (s_h * ws) + b
         if relu:
             y = jax.nn.relu(y)
         return self._quant(y, s_out), s_out
 
     def conv_f32(self, h_q, s_h, name, stride=1, **kw):
-        wq = self.q["weights"][name]
         ws = self.q["w_scales"][name]
         b = self.q["biases"][name]
-        y = _conv(h_q, wq, stride=stride, prefer=jnp.int32, **kw)
+        y = self._conv_q(h_q, name, stride=stride, **kw)
         return y.astype(jnp.float32) * (s_h * ws) + b
 
     def dequant(self, h_q, s_h):
@@ -375,14 +408,181 @@ def quantize_pose_resnet(model, variables, calib_batches,
 
     num_layers = model.num_layers
     dfs, dks = model.deconv_filters, model.deconv_kernels
+    policy = conv_dtype_policy(qparams)
 
     @jax.jit
     def forward(qparams, x):
-        runner = _Int8Runner(qparams)
+        runner = _Int8Runner(qparams, policy)
         return _forward(runner, x, num_layers, dfs, dks,
                         subpixel_deconvs=subpixel_deconvs)
 
     return qparams, forward
+
+
+# --------------------------------------------- Pallas-fused block forward
+
+
+def make_fused_forward(model, qparams, subpixel_deconvs: bool = False,
+                       interpret: bool = False, pallas_deconvs: bool = True,
+                       pallas_blocks: bool = False):
+    """int8 forward where every stride-1 bottleneck block runs as ONE fused
+    Pallas kernel (posetpu/ops/pallas/resblock.py) — one HBM read + one HBM
+    write per block instead of ~5 full-tensor passes — and (for the standard
+    k4/s2 deconv head) the upsampling runs as fused subpixel kernels with the
+    1x1 head folded into the last one (posetpu/ops/pallas/deconv.py).
+    Stride-2 blocks and the stem stay on the XLA runner path.
+
+    Returns (params, forward) with params = {"q", "fused", "deconv"} —
+    pass the whole params dict to the returned jitted forward.
+    """
+    import flax.linen as nn
+
+    from posetpu.ops.pallas.deconv import (
+        build_deconv_args,
+        build_head_args,
+        fused_subpixel_deconv,
+        fused_subpixel_deconv_head,
+    )
+    from posetpu.ops.pallas.resblock import build_bottleneck_args, fused_bottleneck
+
+    num_layers = model.num_layers
+    dfs, dks = model.deconv_filters, model.deconv_kernels
+    plan = _plan(num_layers, dfs, dks)
+    s_act = {k: float(v) for k, v in qparams["act_scales"].items()}
+
+    # Build fused-block args, tracking each block's input scale statically.
+    # NOTE: measured on v5e, the Pallas bottleneck kernel loses to XLA's own
+    # int8 convs in-graph (16.8 vs 10.6 ms full trunk at batch 128): with
+    # Cm=64..512 the 9-tap matmul loop underfills the 128x128 MXU while XLA's
+    # conv emitter keeps it busy. Kept behind pallas_blocks=False as the
+    # measured-and-rejected option; the deconv+head fusion below IS a win.
+    fargs = {}
+    s_h = s_act["stem.out"]
+    for kind, info in plan:
+        if kind != "block":
+            continue
+        name = info["name"]
+        if (pallas_blocks and info["kind"] == "bottleneck"
+                and info["stride"] == 1):
+            fargs[name] = build_bottleneck_args(qparams, name, s_h)
+        s_h = s_act[f"{name}.out"]
+
+    use_pallas_deconvs = pallas_deconvs and all(int(k) == 4 for k in dks)
+    dargs = []
+    if use_pallas_deconvs:
+        s_d = s_h  # scale after the last residual block
+        for i in range(len(dfs)):
+            dargs.append(build_deconv_args(qparams, f"deconv{i}", s_d))
+            s_d = s_act[f"deconv{i}.out"]
+        dargs[-1].update(build_head_args(qparams, s_d))
+
+    params = {"q": qparams, "fused": fargs, "deconv": dargs}
+    policy = conv_dtype_policy(qparams)
+
+    @jax.jit
+    def forward(params, x):
+        runner = _Int8Runner(params["q"], policy)
+        f = params["fused"]
+        h_q, s_h = runner.input(x)
+        for kind, info in plan:
+            if kind == "stem":
+                h_q, s_h = runner.qchain(h_q, s_h, "stem", stride=2)
+                h_q = nn.max_pool(
+                    h_q, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+                )
+            elif kind == "block":
+                name = info["name"]
+                if name in f:
+                    n, hh, ww, _ = h_q.shape
+                    x3 = h_q.reshape(n, hh * ww, h_q.shape[-1])
+                    x3 = fused_bottleneck(x3, f[name], h=hh, w=ww,
+                                          interpret=interpret)
+                    h_q = x3.reshape(n, hh, ww, x3.shape[-1])
+                    s_h = params["q"]["act_scales"][f"{name}.out"]
+                else:
+                    if info["kind"] == "bottleneck":
+                        m, s_m = runner.qchain(h_q, s_h, f"{name}.conv1")
+                        m, s_m = runner.qchain(
+                            m, s_m, f"{name}.conv2", stride=info["stride"]
+                        )
+                        y = runner.conv_f32(m, s_m, f"{name}.conv3")
+                    else:
+                        m, s_m = runner.qchain(
+                            h_q, s_h, f"{name}.conv1", stride=info["stride"]
+                        )
+                        y = runner.conv_f32(m, s_m, f"{name}.conv2")
+                    if info["downsample"]:
+                        r_q, r_s = runner.qchain(
+                            h_q, s_h, f"{name}.downsample",
+                            stride=info["stride"], relu=False,
+                        )
+                    else:
+                        r_q, r_s = h_q, s_h
+                    out = jax.nn.relu(y + runner.dequant(r_q, r_s))
+                    h_q, s_h = runner.requant(out, f"{name}.out")
+            elif kind == "deconv":
+                if use_pallas_deconvs:
+                    if not info["name"].endswith("0"):
+                        continue  # all deconvs + head run below, once
+                    n, hh, ww, c = h_q.shape
+                    x3 = h_q.reshape(n, hh * ww, c)
+                    for i, da in enumerate(params["deconv"]):
+                        if i == len(params["deconv"]) - 1:
+                            x3 = fused_subpixel_deconv_head(
+                                x3, da, h=hh, w=ww, interpret=interpret
+                            )
+                        else:
+                            x3 = fused_subpixel_deconv(
+                                x3, da, h=hh, w=ww, interpret=interpret
+                            )
+                        hh, ww = hh * 2, ww * 2
+                    return x3.reshape(n, hh, ww, x3.shape[-1])
+                k = info["kernel"]
+                if k == 4 and subpixel_deconvs:
+                    h_q, s_h = runner.qchain(h_q, s_h, info["name"], subpixel=True)
+                else:
+                    pad = k - 1 - (1 if k in (3, 4) else 0)
+                    opad = 1 if k == 3 else 0
+                    h_q, s_h = runner.qchain(
+                        h_q, s_h, info["name"],
+                        padding=[(pad, pad + opad), (pad, pad + opad)],
+                        lhs_dilation=(2, 2),
+                    )
+            else:
+                h_q = runner.conv_f32(h_q, s_h, "final")
+        return h_q
+
+    return params, forward
+
+
+# ------------------------------------------------------------ uint8 input
+
+
+def make_u8_quant(qparams, mean, std):
+    """Serving front end: raw uint8 images -> int8 quantized input.
+
+    Folds the reference's (x/255 - mean)/std normalisation
+    (lib/dataset/joints_dataset_compatible.py transform) and the input
+    quantisation into ONE per-channel affine on the uint8 pixels:
+        q = clip(round(u * a_c + b_c)),  a_c = 1/(255*std_c*s_in),
+                                         b_c = -mean_c/(std_c*s_in)
+    so the serving path reads 1 byte/pixel from HBM instead of 4 (and the
+    host->device transfer shrinks 4x).
+
+    Returns (fn, s_in): fn maps uint8 [..., 3] -> int8, s_in is the input
+    activation scale the quantized trunk expects.
+    """
+    s_in = float(qparams["act_scales"]["input"])
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    a = jnp.asarray(1.0 / (255.0 * std * s_in))
+    b = jnp.asarray(-mean / (std * s_in))
+
+    def fn(u8):
+        x = u8.astype(jnp.float32) * a + b
+        return jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
+
+    return fn, s_in
 
 
 # ------------------------------------------------------- quantized fusion
@@ -410,20 +610,24 @@ def quantize_aggregation(bank, calib_heatmaps=None):
 
 def aggregation_int8_apply(qagg, heatmaps):
     """int8 twin of posetpu.models.multiview.Aggregation.__call__:
-    heatmaps [N, 4, h, w, J] -> fused [N, 4, h, w, J]."""
+    heatmaps [N, 4, h, w, J] -> fused [N, 4, h, w, J].
+
+    Quantizes FIRST, so every transpose/gather between here and the matmul
+    moves int8 bytes, not f32 — the f32-first ordering measured ~0.9 ms of
+    pure data movement at batch 32 (4x the traffic of this layout)."""
     n, v, h, w_, j = heatmaps.shape
     s = h * w_
-    x = jnp.moveaxis(heatmaps.reshape(n, v, s, j), 3, 2)  # [N, V, J, S]
+    xq8 = jnp.clip(
+        jnp.round(heatmaps * (1.0 / qagg["x_scale"])), -127, 127
+    ).astype(jnp.int8)  # quantize in the native [N, V, h, w, J] layout
+    x = jnp.moveaxis(xq8.reshape(n, v, s, j), 3, 2)  # [N, V, J, S] int8
     src = jnp.asarray(
         [sv for tgt in range(4) for sv in range(4) if sv != tgt]
     )
-    gathered = x[:, src]  # [N, 12, J, S]
+    gathered = x[:, src]  # [N, 12, J, S] int8
     gathered = jnp.moveaxis(gathered, 1, 0).reshape(12, n * j, s)
-    xq = jnp.clip(
-        jnp.round(gathered / qagg["x_scale"]), -127, 127
-    ).astype(jnp.int8)
     y = jax.lax.dot_general(
-        xq, qagg["wq"],
+        gathered, qagg["wq"],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32,
     )  # [12, N*J, S]

@@ -61,6 +61,13 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.ptpu_load_warp_batch_geom.restype = ctypes.c_int
+        lib.ptpu_load_warp_batch_geom.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         lib.ptpu_zip_read.restype = ctypes.c_long
         lib.ptpu_zip_read.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
@@ -110,6 +117,38 @@ def load_warp_batch(paths, inners, inv_ms, out_h: int, out_w: int,
         out_h, out_w, n_threads,
     )
     return dst, int(fails)
+
+
+def load_warp_batch_geom(paths, inners, geoms, out_h: int, out_w: int,
+                         n_threads: int = 8):
+    """Geometry-driven threaded batch decode+warp.
+
+    ``geoms``: [N, 5] float32 rows (cx, cy, box_w_px, rot_deg, flip). The
+    crop matrix — including a source-image horizontal flip, which needs the
+    raw width — is built natively after decode, so flipped training samples
+    stay on the C++ path (the old per-matrix API had to fall back to Python
+    for them).
+
+    Returns (images [N, out_h, out_w, 3] uint8 BGR, widths [N] int32 with -1
+    marking per-record failures, n_failures); None if the lib is missing.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    dst = np.empty((n, out_h, out_w, 3), np.uint8)
+    widths = np.empty(n, np.int32)
+    g = np.ascontiguousarray(np.asarray(geoms, np.float32).reshape(n, 5))
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_inners = (ctypes.c_char_p * n)(*[(s or "").encode() for s in inners])
+    fails = lib.ptpu_load_warp_batch_geom(
+        n, c_paths, c_inners,
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        out_h, out_w, n_threads,
+    )
+    return dst, widths, int(fails)
 
 
 def zip_read(zip_path: str, inner: str) -> bytes | None:

@@ -40,8 +40,14 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG byte buffer to BGR8. Returns 0 on success.
+//
+// max_scale_denom > 1 enables DCT-domain downscaling (libjpeg 1/2, 1/4,
+// 1/8): the IDCT itself runs on fewer coefficients, cutting decode time
+// ~3x per halving — the dominant host cost when a large frame feeds a
+// small crop. full_width reports the pre-scale width (flip math needs it).
 int decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
-                int* width, int* height) {
+                int* width, int* height, int max_scale_denom = 1,
+                int* full_width = nullptr) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -56,6 +62,13 @@ int decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
     jpeg_destroy_decompress(&cinfo);
     return -2;
+  }
+  if (full_width) *full_width = cinfo.image_width;
+  if (max_scale_denom > 1) {
+    int denom = 1;
+    while (denom * 2 <= max_scale_denom && denom < 8) denom *= 2;
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
   }
 #ifdef JCS_EXTENSIONS
   cinfo.out_color_space = JCS_EXT_BGR;  // decode straight to cv2's layout
@@ -251,28 +264,95 @@ void warp_affine(const uint8_t* src, int sh, int sw, const float* inv_m,
   }
 }
 
+int read_bytes(const char* path, const char* inner,
+               std::vector<uint8_t>* bytes) {
+  if (inner && inner[0]) {
+    return zip_read(path, inner, bytes) == 0 ? 0 : -1;
+  }
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+  std::fseek(fp, 0, SEEK_END);
+  long n = std::ftell(fp);
+  std::fseek(fp, 0, SEEK_SET);
+  bytes->resize(n);
+  if (std::fread(bytes->data(), 1, n, fp) != static_cast<size_t>(n)) {
+    std::fclose(fp);
+    return -1;
+  }
+  std::fclose(fp);
+  return 0;
+}
+
 int load_one(const char* path, const char* inner, const float* inv_m,
              uint8_t* dst, int dh, int dw) {
   std::vector<uint8_t> bytes;
-  if (inner && inner[0]) {
-    if (zip_read(path, inner, &bytes) != 0) return -1;
-  } else {
-    FILE* fp = std::fopen(path, "rb");
-    if (!fp) return -1;
-    std::fseek(fp, 0, SEEK_END);
-    long n = std::ftell(fp);
-    std::fseek(fp, 0, SEEK_SET);
-    bytes.resize(n);
-    if (std::fread(bytes.data(), 1, n, fp) != static_cast<size_t>(n)) {
-      std::fclose(fp);
-      return -1;
-    }
-    std::fclose(fp);
-  }
+  if (read_bytes(path, inner, &bytes) != 0) return -1;
   std::vector<uint8_t> img;
   int w = 0, h = 0;
   if (decode_jpeg(bytes.data(), bytes.size(), &img, &w, &h) != 0) return -2;
   warp_affine(img.data(), h, w, inv_m, dst, dh, dw);
+  return 0;
+}
+
+// Build the dst->src map for the reference crop (center/scale/rotation ->
+// 200*scale px box to [dw, dh], transforms.py:get_affine_transform semantics)
+// directly from the geometry, optionally composing a horizontal flip of the
+// SOURCE image. Flip needs the raw width, which is only known post-decode —
+// that is why this lives here and not in Python.
+void geom_to_inv(const float* g /*cx, cy, box_w_px, rot_deg, flip*/,
+                 int src_w, int dh, int dw, float* inv /*6*/) {
+  const float cx = g[4] != 0.f ? (src_w - 1.f - g[0]) : g[0];
+  const float cy = g[1];
+  const float s = dw / g[2];
+  const float rad = g[3] * 3.14159265358979323846f / 180.f;
+  const float cs = std::cos(rad), sn = std::sin(rad);
+  // forward: a = [[s*cs, s*sn], [-s*sn, s*cs]], t = out/2 - a*c
+  const float a00 = s * cs, a01 = s * sn, a10 = -s * sn, a11 = s * cs;
+  const float tx = dw * 0.5f - (a00 * cx + a01 * cy);
+  const float ty = dh * 0.5f - (a10 * cx + a11 * cy);
+  // inverse: B = a^-1, u = -B*t
+  const float det = a00 * a11 - a01 * a10;
+  const float b00 = a11 / det, b01 = -a01 / det;
+  const float b10 = -a10 / det, b11 = a00 / det;
+  float m[6] = {b00, b01, -(b00 * tx + b01 * ty),
+                b10, b11, -(b10 * tx + b11 * ty)};
+  if (g[4] != 0.f) {
+    // sampled the flipped image: src_orig_x = (w-1) - src_flipped_x
+    m[0] = -m[0]; m[1] = -m[1]; m[2] = (src_w - 1.f) - m[2];
+  }
+  std::memcpy(inv, m, sizeof(m));
+}
+
+int load_one_geom(const char* path, const char* inner, const float* geom,
+                  uint8_t* dst, int* out_w, int dh, int dw) {
+  std::vector<uint8_t> bytes;
+  if (read_bytes(path, inner, &bytes) != 0) return -1;
+  std::vector<uint8_t> img;
+  int w = 0, h = 0, full_w = 0;
+  // The crop samples the source every box_w/dw full-res pixels; when that
+  // step is >= 2 a DCT-scaled decode (1/2, 1/4, 1/8) loses nothing the
+  // bilinear tap would have kept, and cuts the dominant decode cost.
+  const int ratio = static_cast<int>(geom[2] / dw);
+  if (decode_jpeg(bytes.data(), bytes.size(), &img, &w, &h,
+                  ratio >= 2 ? ratio : 1, &full_w) != 0) {
+    return -2;
+  }
+  float inv[6];
+  geom_to_inv(geom, full_w, dh, dw, inv);  // flip math in FULL-res coords
+  if (w != full_w) {
+    // compose full->scaled pixel-centre map: x_s = (x_f - (k-1)/2) / k
+    // (k is the exact power-of-two denom; full_w/w alone rounds up on odd
+    // widths, e.g. 1001/501)
+    const float k = std::round(static_cast<float>(full_w) / w);
+    const float off = (k - 1.f) * 0.5f;
+    for (int r = 0; r < 2; ++r) {
+      inv[3 * r + 0] /= k;
+      inv[3 * r + 1] /= k;
+      inv[3 * r + 2] = (inv[3 * r + 2] - off) / k;
+    }
+  }
+  warp_affine(img.data(), h, w, inv, dst, dh, dw);
+  *out_w = full_w;
   return 0;
 }
 
@@ -301,6 +381,39 @@ int ptpu_load_warp_batch(int n, const char** paths, const char** inners,
       if (load_one(paths[i], inners[i], inv_ms + 6 * i, dst + stride * i,
                    dh, dw) != 0) {
         fails[tid]++;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& t : threads) t.join();
+  int total = 0;
+  for (int f : fails) total += f;
+  return total;
+}
+
+// Geometry-driven threaded batch: the crop matrix (and optional source
+// flip) is built natively per record AFTER decode, so flipped training
+// samples stay on this path. geom: [n, 5] = (cx, cy, box_w_px, rot_deg,
+// flip). out_widths[i] receives the raw image width (for host-side joint
+// flipping), or -1 on failure. Returns the failure count.
+int ptpu_load_warp_batch_geom(int n, const char** paths, const char** inners,
+                              const float* geom, uint8_t* dst,
+                              int* out_widths, int dh, int dw,
+                              int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<int> fails(n_threads, 0);
+  const size_t stride = static_cast<size_t>(dh) * dw * 3;
+  auto worker = [&](int tid) {
+    for (int i = tid; i < n; i += n_threads) {
+      int w = -1;
+      if (load_one_geom(paths[i], inners[i], geom + 5 * i, dst + stride * i,
+                        &w, dh, dw) != 0) {
+        out_widths[i] = -1;
+        fails[tid]++;
+      } else {
+        out_widths[i] = w;
       }
     }
   };

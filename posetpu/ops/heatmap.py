@@ -58,13 +58,28 @@ def render_gaussian_heatmaps(joints, joints_vis, heatmap_size, image_size, sigma
     return target, weight
 
 
+def _first_max_index(flat, axis):
+    """(maxvals, first-argmax index) along ``axis`` via two plain reduces.
+
+    ``jnp.argmax`` lowers to XLA's variadic (value, index) reduce, which the
+    TPU emitter runs ~10x slower than simple reduces (measured 1.7 ms for
+    [128, 20, 4096] f32 inside the serving pipeline). max + min-of-matching-
+    iota reproduces argmax's first-occurrence tie-break with two fast
+    reduces and one elementwise select."""
+    n = flat.shape[axis]
+    maxvals = jnp.max(flat, axis=axis)
+    iota = jax.lax.broadcasted_iota(jnp.int32, flat.shape, axis % flat.ndim)
+    hit = flat == jnp.expand_dims(maxvals, axis)
+    idx = jnp.min(jnp.where(hit, iota, n), axis=axis)
+    return maxvals, idx
+
+
 def max_preds(heatmaps):
     """Argmax decode: coords (x, y) + max value, masked where max <= 0
     (reference: get_max_preds, inference.py:19-47). heatmaps: [..., H, W]."""
     h, w = heatmaps.shape[-2:]
     flat = heatmaps.reshape(heatmaps.shape[:-2] + (h * w,))
-    idx = jnp.argmax(flat, axis=-1)
-    maxvals = jnp.max(flat, axis=-1)
+    maxvals, idx = _first_max_index(flat, -1)
     x = (idx % w).astype(jnp.float32)
     y = (idx // w).astype(jnp.float32)
     coords = jnp.stack([x, y], axis=-1)
@@ -97,6 +112,40 @@ def decode_heatmaps(heatmaps, post_process: bool = True):
             (yy * w + xx)[..., None],
             axis=-1,
         )[..., 0]
+
+    diff_x = at(0, 1) - at(0, -1)
+    diff_y = at(1, 0) - at(-1, 0)
+    ok = (px > 1) & (px < w - 1) & (py > 1) & (py < h - 1)
+    offs = 0.25 * jnp.stack([jnp.sign(diff_x), jnp.sign(diff_y)], axis=-1)
+    return coords + offs * ok.astype(jnp.float32)[..., None], maxvals
+
+
+def decode_heatmaps_hwj(heatmaps, post_process: bool = True):
+    """Channels-last twin of :func:`decode_heatmaps` for [..., H, W, J] maps.
+
+    Decoding in the network's native layout keeps J on TPU lanes through the
+    reduces and skips the [..., J, H, W] transpose ``final_preds`` otherwise
+    pays (a full-tensor copy of the serving batch's heatmaps).
+
+    Returns coords [..., J, 2] (x, y) and maxvals [..., J].
+    """
+    h, w, j = heatmaps.shape[-3:]
+    flat = heatmaps.reshape(heatmaps.shape[:-3] + (h * w, j))
+    maxvals, idx = _first_max_index(flat, -2)  # [..., J]
+    x = (idx % w).astype(jnp.float32)
+    y = (idx // w).astype(jnp.float32)
+    coords = jnp.stack([x, y], axis=-1)
+    coords = coords * (maxvals > 0.0).astype(jnp.float32)[..., None]
+    if not post_process:
+        return coords, maxvals
+
+    px = idx % w
+    py = idx // w
+
+    def at(dy, dx):
+        yy = jnp.clip(py + dy, 0, h - 1)
+        xx = jnp.clip(px + dx, 0, w - 1)
+        return jnp.take_along_axis(flat, (yy * w + xx)[..., None, :], axis=-2)[..., 0, :]
 
     diff_x = at(0, 1) - at(0, -1)
     diff_y = at(1, 0) - at(-1, 0)

@@ -280,3 +280,35 @@ def test_loader_weighted_sampling(mpii_root):
     # weights=None keeps the permutation behaviour
     loader.set_weights(None)
     assert sorted(loader._indices().tolist()) == list(range(len(ds)))
+
+
+def test_native_batch_loader_matches_python_path(mpii_root, monkeypatch):
+    """Deferred C++ batch loading (incl. random flips) == the Python path:
+    metadata exactly, pixels within JPEG-decode/warp rounding tolerance."""
+    from posetpu import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+
+    cfg = _cfg(mpii_root)
+    cfg.DATASET.MPII_SCALE_FACTOR = 0.25
+    cfg.DATASET.MPII_ROT_FACTOR = 30
+    cfg.DATASET.MPII_FLIP = True
+
+    monkeypatch.setenv("POSETPU_NATIVE_LOADER", "1")
+    ds_nat = MPIIDataset(cfg, "valid", is_train=True)
+    assert ds_nat.use_native_loader
+    monkeypatch.setenv("POSETPU_NATIVE_LOADER", "0")
+    ds_py = MPIIDataset(cfg, "valid", is_train=True)
+    assert not ds_py.use_native_loader
+
+    nat = list(GroupLoader(ds_nat, 2, shuffle=True, seed=7, prefetch=0))
+    py = list(GroupLoader(ds_py, 2, shuffle=True, seed=7, prefetch=0))
+    assert len(nat) == len(py) and len(nat) > 0
+    flips = 0
+    for bn, bp in zip(nat, py):
+        for key in ("joints_crop", "joints_vis", "center", "scale", "rotation"):
+            np.testing.assert_array_equal(bn[key], bp[key], err_msg=key)
+        diff = np.abs(bn["images"].astype(int) - bp["images"].astype(int))
+        assert np.median(diff) <= 1
+        assert (diff > 16).mean() < 0.03, (diff.mean(), (diff > 16).mean())

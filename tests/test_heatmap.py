@@ -135,3 +135,18 @@ def test_max_preds_zero_map_masked():
     c, v = max_preds(hm)
     assert float(np.asarray(v)[0, 0]) == 0.0
     np.testing.assert_allclose(np.asarray(c)[0, 0], [0.0, 0.0])
+
+
+def test_decode_hwj_matches_jhw():
+    """Channels-last decode == transpose + channels-first decode."""
+    import jax.numpy as jnp
+
+    from posetpu.ops.heatmap import decode_heatmaps, decode_heatmaps_hwj
+
+    rng = np.random.default_rng(3)
+    hm = jnp.asarray(rng.normal(0, 1, (2, 3, 16, 16, 5)).astype(np.float32))
+    for pp in (False, True):
+        c1, m1 = decode_heatmaps(jnp.moveaxis(hm, -1, -3), post_process=pp)
+        c2, m2 = decode_heatmaps_hwj(hm, post_process=pp)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))

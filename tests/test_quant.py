@@ -107,3 +107,28 @@ def test_int8_aggregation_matches_float(rng):
     got = np.asarray(aggregation_int8_apply(qagg, jnp.asarray(hm)))
     assert np.corrcoef(ref.ravel(), got.ravel())[0, 1] > 0.999
     assert np.abs(ref - got).max() < 0.05 * max(np.abs(ref).max(), 1e-6)
+
+
+def test_u8_input_front_end_matches_f32(rng):
+    """make_u8_quant(u8) == quantize(normalize(u8)) for every pixel value."""
+    from posetpu.models.quant import _Int8Runner, make_u8_quant
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    qparams = {"act_scales": {"input": jnp.float32(0.0213)}}
+
+    u8 = jnp.asarray(
+        rng.randint(0, 256, size=(2, 8, 8, 3)).astype(np.uint8)
+    )
+    fn, s_in = make_u8_quant(qparams, mean, std)
+    got = np.asarray(fn(u8))
+
+    x = (np.asarray(u8).astype(np.float32) / 255.0 - mean) / std
+    runner = _Int8Runner(qparams)
+    want, s = runner.input(jnp.asarray(x))
+    np.testing.assert_array_equal(got, np.asarray(want))
+    assert s_in == float(s)
+
+    # and int8 input short-circuits the runner's quantizer
+    again, s2 = runner.input(jnp.asarray(got))
+    np.testing.assert_array_equal(np.asarray(again), got)
