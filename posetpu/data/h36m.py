@@ -138,8 +138,17 @@ class MultiViewH36M(JointsDataset):
             from posetpu.utils.vis import save_all_preds
 
             names = [self.db[i]["image"] for i in flat]
-            save_all_preds(gt, pred, dist <= headsizes * 0.5, names, "h36m",
-                           output_dir)
+            import os.path as osp
+
+            zip_name = (
+                "images_nodistortion.zip@" if self.no_distortion
+                else "images.zip@"
+            )
+            zip_dir = zip_name if self.data_format == "zip" else ""
+            save_all_preds(
+                gt, pred, dist <= headsizes * 0.5, names, "h36m", output_dir,
+                image_root=osp.join(self.root, "h36m", zip_dir, "images"),
+            )
         name_values = collections.OrderedDict()
         head_idx = int(np.where(np.array([H36M_JOINTS[x] for x in a]) == "head")[0][0])
 

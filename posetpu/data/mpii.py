@@ -108,7 +108,13 @@ class MPIIDataset(JointsDataset):
             from posetpu.utils.vis import save_all_preds
 
             names = [self.db[i]["image"] for i in flat]
-            save_all_preds(gt, pred, detected, names, "mpii", output_dir)
+            import os.path as osp
+
+            zip_dir = "images.zip@" if self.data_format == "zip" else ""
+            save_all_preds(
+                gt, pred, detected, names, "mpii", output_dir,
+                image_root=osp.join(self.root, "mpii", zip_dir, "images"),
+            )
 
         name_values = collections.OrderedDict(
             (MPII_JOINTS[a[i]], rate[i]) for i in range(len(u))

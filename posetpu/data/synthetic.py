@@ -69,6 +69,49 @@ def make_poses3d(n_groups: int, n_joints: int = 16, seed: int = 0):
     return (root + offsets).astype(np.float32)
 
 
+# Canonical standing pose in the 16-joint MPII order (posetpu.geometry.body.
+# JOINT_NAMES), mm, z-up, root over the origin — realistic bone lengths so
+# synthetic MPJPE numbers are mm-meaningful and RPSM's limb-length prior
+# holds.
+CANONICAL_POSE_MM = np.array(
+    [
+        [-150, 30, 80],     # rank
+        [-140, 20, 550],    # rkne
+        [-130, 0, 990],     # rhip
+        [130, 0, 990],      # lhip
+        [140, 20, 550],     # lkne
+        [150, 30, 80],      # lank
+        [0, 0, 1000],       # root
+        [0, -20, 1450],     # thorax
+        [0, -30, 1580],     # upper neck
+        [0, -20, 1750],     # head top
+        [-270, 80, 900],    # rwri
+        [-260, 40, 1150],   # relb
+        [-220, 0, 1420],    # rsho
+        [220, 0, 1420],     # lsho
+        [260, 40, 1150],    # lelb
+        [270, 80, 900],     # lwri
+    ],
+    np.float32,
+)
+
+
+def make_skeleton_poses(n_groups: int, seed: int = 0, jitter: float = 40.0):
+    """Human skeletons: canonical pose + random yaw + root shift + per-joint
+    jitter (bone lengths stay within RPSM's limb tolerance)."""
+    rs = np.random.RandomState(seed)
+    poses = np.empty((n_groups, 16, 3), np.float32)
+    for g in range(n_groups):
+        ang = rs.uniform(0, 2 * np.pi)
+        cs, sn = np.cos(ang), np.sin(ang)
+        rot = np.array([[cs, -sn, 0], [sn, cs, 0], [0, 0, 1]], np.float32)
+        p = CANONICAL_POSE_MM @ rot.T
+        p += rs.uniform(-jitter, jitter, (16, 3)).astype(np.float32)
+        p[:, :2] += rs.uniform(-400, 400, 2).astype(np.float32)
+        poses[g] = p
+    return poses
+
+
 def tile_cameras(cams: CameraParams, n_groups: int) -> CameraParams:
     """Tile a [V]-camera rig to [G, V] groups."""
     import jax.numpy as jnp

@@ -84,11 +84,15 @@ def save_debug_images(cfg, images_norm, joints_gt, joints_vis, joints_pred,
         save_batch_heatmaps(images, np.asarray(output), f"{prefix}_hm_pred.jpg")
 
 
-def save_all_preds(gt, pred, detected, image_names, source, output_dir):
-    """Qualitative per-sample prediction sheets (vis.py:253-296): writes a
-    compact JSON-lines summary plus marks failures — the reference draws
-    per-image overlays; the summary here keeps the same information without
-    needing the source images at eval time."""
+def save_all_preds(gt, pred, detected, image_names, source, output_dir,
+                   image_root: str = "", max_images: int = 200):
+    """Qualitative per-sample prediction dumps (vis.py:253-296).
+
+    Always writes a JSON-lines summary (machine-checkable), and — when
+    ``image_root`` locates the source images — draws the reference's
+    per-image overlay sheets into ``<output_dir>/debug``: GT joints as red
+    circles, detected predictions as green crosses, misses as blue crosses
+    (same colour semantics as the reference, capped at ``max_images``)."""
     import json
 
     os.makedirs(output_dir, exist_ok=True)
@@ -106,4 +110,29 @@ def save_all_preds(gt, pred, detected, image_names, source, output_dir):
                 )
                 + "\n"
             )
+
+    if image_root:
+        import cv2
+
+        from posetpu.data import zipreader
+
+        debug_dir = os.path.join(output_dir, "debug")
+        os.makedirs(debug_dir, exist_ok=True)
+        red, green, blue = (0, 0, 255), (0, 255, 0), (255, 0, 0)
+        for i, name in enumerate(image_names[:max_images]):
+            img = zipreader.imread(
+                os.path.join(image_root, str(name)),
+                cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION,
+            )
+            if img is None:
+                continue
+            for j in range(len(gt[i])):
+                cv2.circle(
+                    img, (int(gt[i][j][0]), int(gt[i][j][1])), 5, red, -1
+                )
+                cv2.drawMarker(
+                    img, (int(pred[i][j][0]), int(pred[i][j][1])),
+                    green if detected[i][j] else blue, cv2.MARKER_CROSS, 10,
+                )
+            cv2.imwrite(os.path.join(debug_dir, f"{i:05d}.jpg"), img)
     return path

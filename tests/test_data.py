@@ -312,3 +312,20 @@ def test_native_batch_loader_matches_python_path(mpii_root, monkeypatch):
         diff = np.abs(bn["images"].astype(int) - bp["images"].astype(int))
         assert np.median(diff) <= 1
         assert (diff > 16).mean() < 0.03, (diff.mean(), (diff > 16).mean())
+
+
+def test_evaluate_writes_overlay_sheets(mpii_root, tmp_path):
+    """save_all_preds draws the reference's per-image overlay dumps
+    (vis.py:253-296) plus the JSONL summary."""
+    ds = MPIIDataset(_cfg(mpii_root), "valid", is_train=False)
+    flat = [i for g in ds.grouping for i in g]
+    preds = np.array([ds.db[i]["joints_2d"] for i in flat])
+    out = tmp_path / "eval"
+    ds.evaluate(preds, output_dir=str(out))
+    assert (out / "all_preds_mpii.jsonl").exists()
+    sheets = sorted((out / "debug").glob("*.jpg"))
+    assert len(sheets) == len(flat)
+    import cv2
+
+    img = cv2.imread(str(sheets[0]))
+    assert img is not None and img.shape[2] == 3

@@ -1,0 +1,196 @@
+"""int8-vs-float accuracy delta on a TRAINED checkpoint (VERDICT weak #6).
+
+Builds a learnable on-disk H36M-format fixture (bright blobs at projected
+joint locations), trains the flagship MultiViewPose on the real chip for a
+few epochs via the public CLI, then evaluates the SAME checkpoint through
+cli.validate in float and int8-PTQ modes and reports the PCKh delta.
+
+Run: PYTHONPATH=. python tools/int8_accuracy.py [workdir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import sys
+
+import cv2
+import numpy as np
+
+IMG_W = IMG_H = 256
+N_GROUPS = 320
+
+
+def build_fixture(root: str) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from posetpu.data.synthetic import make_camera_ring, make_skeleton_poses
+    from posetpu.geometry.cameras import (
+        CameraParams, project_points, world_to_camera_frame,
+    )
+
+    cams = make_camera_ring(image_size=(IMG_W, IMG_H))
+    cams = CameraParams(
+        R=cams.R, T=cams.T,
+        f=cams.f * (IMG_W / 1000.0) * 0.35,
+        c=jnp.full_like(cams.c, IMG_W / 2.0),
+        k=cams.k * 0.0, p=cams.p * 0.0,
+    )
+    # 17-joint H36M schema: joint 0 is an extra root-ish point
+    poses16 = make_skeleton_poses(N_GROUPS, seed=3)
+    pts3d = np.concatenate([poses16[:, 6:7], poses16], axis=1)
+
+    colors = [(int(80 + 10 * j), int(255 - 9 * j), int(40 + 12 * j))
+              for j in range(17)]
+    db = []
+    for g in range(N_GROUPS):
+        for v in range(4):
+            cam_v = jax.tree.map(lambda x, v=v: x[v], cams)
+            pix = np.asarray(project_points(jnp.asarray(pts3d[g]), cam_v))
+            xcam = np.asarray(
+                world_to_camera_frame(jnp.asarray(pts3d[g]), cam_v.R, cam_v.T)
+            )
+            name = f"g{g:03d}_c{v}.jpg"
+            path = os.path.join(root, "h36m", "images", name)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            img = np.full((IMG_H, IMG_W, 3), 16, np.uint8)
+            for j, (x, y) in enumerate(pix):
+                cv2.circle(img, (int(round(x)), int(round(y))), 4, colors[j], -1)
+            cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+            db.append({
+                "image": name,
+                "center": np.array([IMG_W / 2.0, IMG_H / 2.0]),
+                "scale": np.array([IMG_W / 200.0, IMG_H / 200.0]),
+                "joints_2d": pix.astype(np.float64),
+                "joints_3d": xcam.astype(np.float64),
+                "joints_vis": np.ones((17, 3)),
+                "camera": {
+                    "R": np.asarray(cams.R[v], np.float64),
+                    "T": np.asarray(cams.T[v], np.float64).reshape(3, 1),
+                    "fx": float(cams.f[v, 0]), "fy": float(cams.f[v, 1]),
+                    "cx": float(cams.c[v, 0]), "cy": float(cams.c[v, 1]),
+                    "k": np.asarray(cams.k[v], np.float64).reshape(3, 1),
+                    "p": np.asarray(cams.p[v], np.float64).reshape(2, 1),
+                },
+                "source": "h36m", "subject": 1, "action": 2, "subaction": 1,
+                "image_id": g, "camera_id": v,
+            })
+    os.makedirs(os.path.join(root, "h36m", "annot"), exist_ok=True)
+    for subset in ("train", "validation"):
+        with open(os.path.join(root, "h36m", "annot", f"h36m_{subset}.pkl"), "wb") as f:
+            pickle.dump(db, f)
+
+
+CFG_YAML = """\
+GPUS: '0'
+DATA_DIR: ''
+OUTPUT_DIR: output
+LOG_DIR: log
+DATASET:
+  ROOT: '{root}'
+  TRAIN_DATASET: multiview_h36m
+  TEST_DATASET: multiview_h36m
+  TRAIN_SUBSET: train
+  TEST_SUBSET: validation
+  DATA_FORMAT: jpg
+NETWORK:
+  PRETRAINED: ''
+  IMAGE_SIZE:
+  - 256
+  - 256
+  HEATMAP_SIZE:
+  - 64
+  - 64
+  SIGMA: 2
+  AGGRE: true
+POSE_RESNET:
+  NUM_LAYERS: 50
+LOSS:
+  USE_TARGET_WEIGHT: true
+TRAIN:
+  BATCH_SIZE: 2
+  BEGIN_EPOCH: 0
+  END_EPOCH: {epochs}
+  LR: 0.001
+  LR_STEP:
+  - 90
+  - 110
+TEST:
+  BATCH_SIZE: 2
+"""
+
+
+def mint_gt_pseudo(cfg_path: str, out_h5: str) -> None:
+    """GT joints as pseudo labels (the fixture's supervised ceiling),
+    in the interchange H5 schema add_pseudo expects."""
+    from posetpu.cli.common import load_cfg
+    from posetpu.data.base import sorted_union_indices
+    from posetpu.data.h36m import MultiViewH36M
+    from posetpu.data.h5io import save_pseudo_labels
+
+    class A:
+        cfg = cfg_path
+        modelDir = logDir = dataDir = ""
+
+    cfg = load_cfg(A())
+    ds = MultiViewH36M(cfg, "train", True)
+    u = sorted_union_indices(ds.u2a_mapping)
+    rows, vis = [], []
+    for items in ds.grouping:
+        for idx in items:
+            rows.append(np.asarray(ds.db[idx]["joints_2d"])[u])
+            vis.append(np.ones(len(u), np.float32))
+    save_pseudo_labels(out_h5, np.stack(rows), np.stack(vis))
+
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/int8_acc"
+    os.makedirs(work, exist_ok=True)
+    root = os.path.join(work, "data")
+    if not os.path.exists(os.path.join(root, "h36m", "annot", "h36m_train.pkl")):
+        print("building fixture...", flush=True)
+        build_fixture(root)
+
+    cfg_path = os.path.join(work, "exp.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CFG_YAML.format(root=root, epochs=10))
+
+    os.chdir(work)
+    import sys as _sys
+
+    pseudo = os.path.join(work, "gt_pseudo.h5")
+    if not os.path.exists(pseudo):
+        mint_gt_pseudo(cfg_path, pseudo)
+
+    import glob
+
+    from posetpu.cli import train as train_cli
+
+    best = glob.glob(os.path.join(work, "output", "**", "model_best"),
+                     recursive=True)
+    if not best:
+        _sys.argv = ["train", "--cfg", cfg_path, "--pseudo-path", pseudo]
+        print("training...", flush=True)
+        train_cli.main()
+        best = glob.glob(os.path.join(work, "output", "**", "model_best"),
+                         recursive=True)
+    assert best, "training produced no model_best checkpoint"
+
+    from posetpu.cli import validate as validate_cli
+
+    results = {}
+    for mode, extra in (("float", []), ("int8", ["--int8"])):
+        _sys.argv = ["validate", "--cfg", cfg_path, "--state", best[0]] + extra
+        print(f"validating ({mode})...", flush=True)
+        results[mode] = validate_cli.main()
+    results["delta"] = (
+        None if None in results.values()
+        else float(results["float"]) - float(results["int8"])
+    )
+    print("INT8_ACCURACY " + json.dumps(results, default=str))
+
+
+if __name__ == "__main__":
+    main()
