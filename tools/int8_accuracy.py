@@ -106,7 +106,7 @@ NETWORK:
   SIGMA: 2
   AGGRE: true
 POSE_RESNET:
-  NUM_LAYERS: 50
+  NUM_LAYERS: 18
 LOSS:
   USE_TARGET_WEIGHT: true
 TRAIN:
@@ -155,7 +155,7 @@ def main():
 
     cfg_path = os.path.join(work, "exp.yaml")
     with open(cfg_path, "w") as f:
-        f.write(CFG_YAML.format(root=root, epochs=10))
+        f.write(CFG_YAML.format(root=root, epochs=25))
 
     os.chdir(work)
     import sys as _sys
@@ -166,7 +166,7 @@ def main():
 
     import glob
 
-    from posetpu.cli import train as train_cli
+    from posetpu.cli import train as train_cli  # noqa: F401
 
     best = glob.glob(os.path.join(work, "output", "**", "model_best"),
                      recursive=True)
