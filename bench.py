@@ -24,14 +24,20 @@ BASELINE_FPS = 5000.0  # /root/repo/BASELINE.json north star
 LOOP_INSIDE = 10  # pipeline steps per host fetch (amortises tunnel RTT)
 
 
-def _build_int8(batch):
+def _build_int8(batch, flip_test: bool = False):
     """int8 serving pipeline: PTQ ResNet-50 trunk -> bf16 aggregation fusion
-    -> fuse routing -> decode -> triangulate (same stages as the bf16 path)."""
+    -> fuse routing -> decode -> triangulate (same stages as the bf16 path).
+
+    ``flip_test`` adds the reference's flip-test protocol
+    (function.py:557-583): the horizontally mirrored images run through the
+    same trunk (folded into the batch) and the un-flipped heatmaps are
+    averaged in — ~2x trunk work, reported as a separate metric."""
     import jax
     import jax.numpy as jnp
 
     from posetpu.config import default_config
-    from posetpu.core.inference import final_preds, fuse_routing
+    from posetpu.core.inference import final_preds, flip_test_merge, fuse_routing
+    from posetpu.data.base import union_flip_pairs
     from posetpu.data.synthetic import make_camera_ring, tile_cameras
     from posetpu.geometry.triangulate import triangulate_points
     from posetpu.models import get_pose_net
@@ -69,9 +75,16 @@ def _build_int8(batch):
     is_h36m = jnp.ones((batch,), jnp.float32)
     params = {"q": qparams, "qagg": qagg}
 
+    flip_pairs = union_flip_pairs()
+
     def one(params, x):
         flat = x.reshape((batch * 4,) + x.shape[2:])
-        hm = qfwd(params["q"], u8_quant(flat))  # [N*4, h, w, J]
+        if flip_test:
+            flat = jnp.concatenate([flat, flat[:, :, ::-1, :]])
+        hm = qfwd(params["q"], u8_quant(flat))  # [N*4(*2), h, w, J]
+        if flip_test:
+            hm, hm_f = jnp.split(hm, 2)
+            hm = flip_test_merge(hm, hm_f, flip_pairs)
         raw = hm.reshape((batch, 4) + hm.shape[1:])
         fused = aggregation_int8_apply(params["qagg"], raw)
         out = fuse_routing(raw, fused, is_h36m)
@@ -178,7 +191,12 @@ def main():
         results["int8"] = max(
             results.get("int8", 0.0), _measure(qpipe, qparams, qx, batch, rtt)
         )
-    best_fps = max(results.values())
+        fpipe, fparams, fx = _build_int8(batch, flip_test=True)
+        results["int8_flip"] = max(
+            results.get("int8_flip", 0.0),
+            _measure(fpipe, fparams, fx, batch, rtt),
+        )
+    best_fps = max(results["bf16_fused"], results["int8"])
     print(
         json.dumps(
             {
@@ -189,6 +207,7 @@ def main():
                 "batch": 32,
                 "bf16_fused_fps": round(results["bf16_fused"], 1),
                 "int8_fps": round(results["int8"], 1),
+                "int8_flip_test_fps": round(results["int8_flip"], 1),
                 "tunnel_rtt_ms": round(rtt * 1e3, 1),
             }
         )

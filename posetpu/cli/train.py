@@ -260,8 +260,10 @@ def main():
                 writer.add_scalar("valid_perf", perf, epoch)
             is_best = perf > best_perf
             best_perf = max(best_perf, perf)
-            # orbax save is collective — all processes participate
-            ckpt.save_epoch(epoch + 1, states_of(state), perf, is_best)
+            every = max(1, int(getattr(cfg.TRAIN, "CHECKPOINT_EVERY", 1)))
+            if is_best or (epoch + 1) % every == 0:
+                # orbax save is collective — all processes participate
+                ckpt.save_epoch(epoch + 1, states_of(state), perf, is_best)
         ckpt.save_final(states_of(state))
     if is_primary:
         logger.info(f"done; best perf {best_perf:.4f}")

@@ -203,6 +203,10 @@ def _default_config() -> Config:
             BATCH_SIZE=8,
             SHUFFLE=True,
             FIX_BACKBONE=False,
+            # extension over the reference (which saves every epoch): save
+            # the rolling checkpoint every N epochs. model_best still saves
+            # whenever the perf indicator improves.
+            CHECKPOINT_EVERY=1,
         ),
         TEST=Section(
             BATCH_SIZE=8,

@@ -44,11 +44,26 @@ class CheckpointManager:
 
     def save_epoch(self, epoch: int, states: dict, perf: float,
                    is_best: bool) -> None:
-        """The per-epoch checkpoint + best tracking (train.py:368-390)."""
+        """The per-epoch checkpoint + best tracking (train.py:368-390).
+
+        ``model_best`` is a LOCAL directory copy of the just-saved
+        checkpoint, not a second device fetch — device->host transfer is
+        the dominant checkpoint cost (minutes per save through a remote
+        tunnel), and the bytes are identical."""
         meta = {"epoch": epoch, "perf": float(perf)}
-        self.save("checkpoint", states, meta)
-        if is_best:
-            self.save("model_best", states, meta)
+        path = self.save("checkpoint", states, meta)
+        if is_best and jax.process_index() == 0:
+            import shutil
+
+            best = os.path.join(self.directory, "model_best")
+            tmp = best + ".copying"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.copytree(path, tmp)
+            shutil.rmtree(best, ignore_errors=True)
+            os.replace(tmp, best)
+            with open(os.path.join(self.directory, "model_best_meta.json"),
+                      "w") as f:
+                json.dump(meta, f)
 
     def save_final(self, states: dict) -> None:
         """final_state.pth.tar equivalent (train.py:393-397)."""
