@@ -29,6 +29,8 @@ def parse_args():
     p.add_argument("--f32", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="serve the int8 PTQ trunk (calibrated on the first batches)")
+    p.add_argument("--calib-batches", type=int, default=2,
+                   help="batches used for int8 activation calibration")
     return p.parse_args()
 
 
@@ -78,16 +80,15 @@ def main():
             dev = prep(host_batch)
             imgs = np.asarray(dev["images"])
             calib.append(imgs.reshape((-1,) + imgs.shape[2:]))
-            if i >= 1:
+            if i + 1 >= max(1, args.calib_batches):
                 break
-        qparams, qfwd, aggre_apply = build_quant_from_variables(cfg, variables, calib)
+        qparams, qfwd, bank = build_quant_from_variables(cfg, variables, calib)
         eval_step = make_quant_eval_step(
-            qfwd, qparams, cfg, flip_pairs=dataset.flip_pairs,
-            aggre_apply=aggre_apply,
+            qfwd, cfg, flip_pairs=dataset.flip_pairs, has_aggre=bank is not None,
         )
         logger.info("=> serving the int8 PTQ trunk")
         perf, name_values, _, _ = validate(
-            cfg, loader, dataset, eval_step, variables,
+            cfg, loader, dataset, eval_step, {"q": qparams, "bank": bank},
             output_dir=output_dir, logger=logger,
         )
         logger.info(f"perf indicator: {perf:.4f}")

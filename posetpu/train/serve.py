@@ -17,30 +17,45 @@ import jax.numpy as jnp
 from posetpu.core.inference import final_preds, flip_test_merge, fuse_routing
 
 
-def make_quant_eval_step(qfwd, qparams, cfg, flip_pairs=None,
-                         aggre_apply: Callable | None = None) -> Callable:
-    """qfwd/qparams from quantize_pose_resnet; ``aggre_apply(heatmaps)``
-    optionally applies the float aggregation bank ([N, V, h, w, J] in/out)."""
-    is_aggre = aggre_apply is not None
+def make_quant_eval_step(qfwd, cfg, flip_pairs=None,
+                         has_aggre: bool = False) -> Callable:
+    """qfwd from quantize_pose_resnet. The returned
+    ``eval_step(qvars, batch)`` takes ``qvars = {"q": qparams, "bank":
+    aggre_bank_or_None}`` as a TRACED argument — closing device arrays over
+    the jit would embed them as compile-time constants (the [12, S, S]
+    aggregation bank alone is 400 MB at S=4096, and constant-folding it
+    stalled compilation for >20 min)."""
+    is_aggre = has_aggre
     fuse_output = bool(cfg.TEST.FUSE_OUTPUT)
     flip_test = bool(cfg.TEST.FLIP_TEST)
     shift = bool(cfg.TEST.SHIFT_HEATMAP)
     post = bool(cfg.TEST.POST_PROCESS)
     pairs = tuple(tuple(p) for p in (flip_pairs or ()))
+    aggre = None
+    if has_aggre:
+        from posetpu.models.multiview import Aggregation
 
-    def trunk(x):
+        aggre = Aggregation(heatmap_size=int(cfg.NETWORK.HEATMAP_SIZE[0]),
+                            dtype=jnp.bfloat16)
+
+    def trunk(qparams, x):
         n, v = x.shape[0], x.shape[1]
         hm = qfwd(qparams, x.reshape((n * v,) + x.shape[2:]))
         return hm.reshape((n, v) + hm.shape[1:])
 
     @jax.jit
-    def eval_step(variables_unused, batch):
+    def eval_step(qvars, batch):
+        qparams = qvars["q"]
         is_h36m = batch["is_h36m"]
+
+        def aggre_apply(hm):
+            return aggre.apply({"params": {"weight": qvars["bank"]}}, hm)
+
         if flip_test:
             x = jnp.concatenate(
                 [batch["images"], jnp.flip(batch["images"], axis=-2)], axis=0
             )
-            raw2 = trunk(x)
+            raw2 = trunk(qparams, x)
             m2 = jnp.concatenate([is_h36m, is_h36m], axis=0)
             fused2 = aggre_apply(raw2) if is_aggre else None
             out2 = (
@@ -49,7 +64,7 @@ def make_quant_eval_step(qfwd, qparams, cfg, flip_pairs=None,
             n = batch["images"].shape[0]
             output = flip_test_merge(out2[:n], out2[n:], pairs, shift=shift)
         else:
-            raw = trunk(batch["images"])
+            raw = trunk(qparams, batch["images"])
             fused = aggre_apply(raw) if is_aggre else None
             output = (
                 fuse_routing(raw, fused, is_h36m)
@@ -73,9 +88,9 @@ def make_quant_eval_step(qfwd, qparams, cfg, flip_pairs=None,
 
 def build_quant_from_variables(cfg, variables, calib_batches):
     """Quantize a MultiViewPose variables tree's resnet trunk; returns
-    (qparams, qfwd, aggre_apply or None)."""
+    (qparams, qfwd, aggre_bank or None). Pass ``{"q": qparams, "bank":
+    aggre_bank}`` as the eval step's variables argument."""
     from posetpu.models import get_pose_net
-    from posetpu.models.multiview import Aggregation
     from posetpu.models.quant import quantize_pose_resnet
 
     resnet = get_pose_net(cfg, dtype=jnp.float32)
@@ -85,13 +100,7 @@ def build_quant_from_variables(cfg, variables, calib_batches):
     }
     qparams, qfwd = quantize_pose_resnet(resnet, res_vars, calib_batches)
 
-    aggre_apply = None
+    bank = None
     if cfg.NETWORK.AGGRE and "aggre_layer" in variables["params"]:
         bank = variables["params"]["aggre_layer"]["weight"]
-        aggre = Aggregation(heatmap_size=int(cfg.NETWORK.HEATMAP_SIZE[0]),
-                            dtype=jnp.bfloat16)
-
-        def aggre_apply(hm):
-            return aggre.apply({"params": {"weight": bank}}, hm)
-
-    return qparams, qfwd, aggre_apply
+    return qparams, qfwd, bank
