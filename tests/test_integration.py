@@ -264,3 +264,43 @@ def test_undistort_regeneration(synth_h36m_root, tmp_path):
     assert all(float(np.abs(r["camera"]["k"]).sum()) == 0 for r in db)
     stats = run(cfg2, heatmap="", no_distortion=True, log=lambda *_: None)
     assert stats["mean_mm"] < 1.0, stats
+
+
+def test_int8_quant_eval_step_in_validate_loop(synth_h36m_root, tmp_path):
+    """The int8 serving eval path (build_quant_from_variables +
+    make_quant_eval_step) drives the full validate loop. qparams and the
+    aggregation bank flow as TRACED arguments — closing them over the jit
+    embedded ~400 MB of constants and stalled compilation (fixed bug)."""
+    from posetpu.data.loader import GroupLoader
+    from posetpu.data.prepare import make_prepare_fn
+    from posetpu.models import MultiViewPose, get_pose_net
+    from posetpu.train.loop import validate
+    from posetpu.train.serve import build_quant_from_variables, make_quant_eval_step
+
+    cfg = _cfg(synth_h36m_root)
+    cfg.TEST.FLIP_TEST = True
+    ds = MultiViewH36M(cfg, "train", False)
+    loader = GroupLoader(ds, 2, shuffle=False, drop_last=False, prefetch=0)
+    model = MultiViewPose(resnet=get_pose_net(cfg), aggre=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 64, 64, 3)), train=False
+    )
+
+    prep = make_prepare_fn(cfg)
+    host = next(iter(loader))
+    imgs = np.asarray(prep(host)["images"])
+    calib = [imgs.reshape((-1,) + imgs.shape[2:])]
+    qparams, qfwd, bank = build_quant_from_variables(cfg, variables, calib)
+    assert bank is not None  # AGGRE=true in the fixture cfg
+
+    eval_step = make_quant_eval_step(
+        qfwd, cfg, flip_pairs=ds.flip_pairs, has_aggre=True
+    )
+    out_dir = str(tmp_path / "out_int8")
+    os.makedirs(out_dir, exist_ok=True)
+    perf, _, preds, heatmaps = validate(
+        cfg, loader, ds, eval_step, {"q": qparams, "bank": bank},
+        output_dir=out_dir,
+    )
+    assert np.isfinite(perf)
+    assert np.asarray(heatmaps).shape[1:] == (16, 16, 16)
