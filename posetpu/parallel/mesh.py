@@ -76,6 +76,24 @@ def shard_host_batch(batch, mesh: Mesh):
     )
 
 
+def local_data(arr) -> np.ndarray:
+    """Process-local rows of a (possibly multi-process) batch-sharded array.
+
+    ``np.asarray`` on a global array that spans non-addressable devices
+    raises in multi-controller JAX; this concatenates the addressable
+    axis-0 shards instead (order by global offset). Fully-addressable
+    arrays pass straight through."""
+    if not hasattr(arr, "addressable_shards") or getattr(
+        arr, "is_fully_addressable", True
+    ):
+        return np.asarray(arr)
+    shards = sorted(
+        arr.addressable_shards,
+        key=lambda s: (s.index[0].start or 0) if s.index else 0,
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def global_batch_from_full_host(batch, mesh: Mesh):
     """Identical full host batch on EVERY process -> batch-sharded global
     arrays. Used by validate, where all processes iterate the full test set

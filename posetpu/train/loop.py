@@ -77,19 +77,26 @@ def train_epoch(cfg, loader: GroupLoader, prepare, train_step, state,
                 for k, m in meters.items():
                     writer.add_scalar(f"train_{k}", m.val, int(base.step))
             if debug_dir is not None and cfg.DEBUG.DEBUG:
+                from posetpu.parallel.mesh import local_data
                 from posetpu.utils.vis import save_debug_images
 
                 dv = batch  # device batch has normalised images + targets
                 v0 = 0  # first view, like the reference's per-view loop
+                # multi-controller: fetch only the process-local shard
+                # (np.asarray on a global array raises); pair it with the
+                # same count of host-local rows
+                imgs = local_data(dv["images"])[:, v0]
+                tgt = local_data(dv["target"])[:, v0]
+                nloc = imgs.shape[0]
                 prefix = os.path.join(debug_dir, f"train_view1_{i:08d}")
                 save_debug_images(
                     cfg,
-                    np.asarray(dv["images"][:, v0]),
-                    np.asarray(host_batch["joints_crop"][:, v0]),
-                    np.asarray(host_batch["joints_vis"][:, v0]),
-                    np.asarray(host_batch["joints_crop"][:, v0]),
-                    np.asarray(dv["target"][:, v0]),
-                    np.asarray(dv["target"][:, v0]),
+                    imgs,
+                    np.asarray(host_batch["joints_crop"][:nloc, v0]),
+                    np.asarray(host_batch["joints_vis"][:nloc, v0]),
+                    np.asarray(host_batch["joints_crop"][:nloc, v0]),
+                    tgt,
+                    tgt,
                     prefix,
                 )
         else:
