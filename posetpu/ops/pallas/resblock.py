@@ -207,6 +207,103 @@ def fused_bottleneck(x, args, *, h: int, w: int, interpret: bool = False):
     )(*operands)
 
 
+def _bottleneck_kernel_v2(
+    x_ref, w1_ref, w2_ref, w3_ref, v1_ref, v2_ref, v3_ref, vr_ref,
+    out_ref, h1_s, im_s, h2_s,
+    *, h: int, w: int, imgs: int, chunk: int,
+):
+    """v2: ``imgs`` images per grid step; the 3x3 conv materialises its
+    im2col patches [imgs*HW, 9*Cm] in VMEM and runs as ONE MXU matmul
+    (contraction 9*Cm=576 at layer1) instead of nine serial [HW, Cm] x
+    [Cm, Cm] ops that underfill the 128-wide contraction."""
+    hw = h * w
+    m = _margin(w)
+    cm = w2_ref.shape[-1]
+    sec = 2 * m + hw  # per-image section in the margined h1 scratch
+
+    acc1 = jax.lax.dot_general(
+        x_ref[...].reshape(imgs * hw, x_ref.shape[-1]), w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    q1 = _requant(acc1, v1_ref[0], v1_ref[1])
+    for k in range(imgs):
+        h1_s[k * sec:k * sec + m, :] = jnp.zeros((m, cm), jnp.int8)
+        h1_s[k * sec + m:k * sec + m + hw, :] = q1[k * hw:(k + 1) * hw, :]
+        h1_s[k * sec + m + hw:(k + 1) * sec, :] = jnp.zeros((m, cm), jnp.int8)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0) % w
+    for k in range(imgs):
+        for t, (dy, dx) in enumerate(_TAPS):
+            base = k * sec + m + dy * w + dx
+            tap = h1_s[base:base + hw, :]
+            if dx != 0:
+                ok = (cols + dx >= 0) & (cols + dx < w)
+                tap = jnp.where(ok, tap, jnp.int8(0))
+            im_s[k * hw:(k + 1) * hw, t * cm:(t + 1) * cm] = tap
+    h2_s[:] = _requant(
+        jax.lax.dot_general(
+            im_s[:], w2_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ),
+        v2_ref[0], v2_ref[1],
+    )
+
+    for k in range(imgs):
+        for c0 in range(0, hw, chunk):
+            sl = pl.ds(c0, chunk)
+            acc3 = jax.lax.dot_general(
+                h2_s[pl.ds(k * hw + c0, chunk), :], w3_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc3.astype(jnp.float32) * v3_ref[0][None, :] + v3_ref[1][None, :]
+            r = (x_ref[k, sl, :].astype(jnp.float32) * vr_ref[0][None, :]
+                 + vr_ref[1][None, :])
+            out_ref[k, sl, :] = jnp.clip(
+                jnp.round(y + r), 0.0, 127.0
+            ).astype(jnp.int8)
+
+
+def fused_bottleneck_v2(x, args, *, h: int, w: int, imgs: int = 2,
+                        interpret: bool = False):
+    """v2 fused block (identity residual only): im2col 3x3 + multi-image
+    grid steps. x: [N, H*W, Cin] int8 -> [N, H*W, Cout] int8."""
+    n, hw, cin = x.shape
+    assert hw == h * w and n % imgs == 0, (n, imgs, hw, h, w)
+    w1, w3 = args["w1"], args["w3"]
+    cm, cout = w1.shape[1], w3.shape[1]
+    w2 = args["w2"].reshape(9 * cm, cm)  # tap-major rows match im2col cols
+    chunk = min(hw, max(512, 2 ** 19 // max(cout, 1)))
+    while hw % chunk:
+        chunk //= 2
+    m = _margin(w)
+
+    const = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_bottleneck_kernel_v2, h=h, w=w, imgs=imgs, chunk=chunk),
+        grid=(n // imgs,),
+        in_specs=[
+            pl.BlockSpec((imgs, hw, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const(cin, cm),
+            const(9 * cm, cm),
+            const(cm, cout),
+            const(2, cm), const(2, cm), const(2, cout), const(2, cout),
+        ],
+        out_specs=pl.BlockSpec(
+            (imgs, hw, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, hw, cout), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((imgs * (hw + 2 * m), cm), jnp.int8),
+            pltpu.VMEM((imgs * hw, 9 * cm), jnp.int8),
+            pltpu.VMEM((imgs * hw, cm), jnp.int8),
+        ],
+        interpret=interpret,
+    )(x, w1, w2, w3, args["v1"], args["v2"], args["v3"], args["vr"])
+
+
 def build_bottleneck_args(qparams, name: str, s_in: float) -> dict:
     """Fold quant.py's per-site scales into kernel-ready packed arguments.
 

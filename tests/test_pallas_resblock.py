@@ -96,3 +96,36 @@ def test_fused_bottleneck_matches_xla_runner(with_ds):
     assert diff.max() <= 1
     assert np.mean(diff > 0) < 1e-3
     assert ref.std() > 1.0  # non-degenerate fixture
+
+
+def test_fused_bottleneck_v2_matches_xla_runner():
+    """v2 (im2col 3x3, multi-image steps) reproduces the same semantics.
+    Kept as a measured-and-rejected variant (PERF.md): XLA's conv emitter
+    wins at every bottleneck shape on v5e."""
+    from posetpu.ops.pallas.resblock import fused_bottleneck_v2
+
+    rng = np.random.default_rng(1)
+    h = w = 8
+    cin, cm, cout = 64, 32, 64
+    n = 4
+    name = "layer1_1"
+    qp = _mk_qparams(rng, name, cin, cm, cout, False)
+    s_in = 0.025
+    x_q = jnp.asarray(rng.integers(-127, 128, size=(n, h, w, cin)).astype(np.int8))
+
+    runner = _Int8Runner(qp)
+    m, s_m = runner.qchain(x_q, jnp.float32(s_in), f"{name}.conv1")
+    m, s_m = runner.qchain(m, s_m, f"{name}.conv2", stride=1)
+    y = runner.conv_f32(m, s_m, f"{name}.conv3")
+    out = jax.nn.relu(y + runner.dequant(x_q, jnp.float32(s_in)))
+    ref_q, _ = runner.requant(out, f"{name}.out")
+    ref = np.asarray(ref_q)
+
+    args = build_bottleneck_args(qp, name, s_in)
+    got = fused_bottleneck_v2(
+        x_q.reshape(n, h * w, cin), args, h=h, w=w, imgs=2, interpret=True
+    )
+    got = np.asarray(got).reshape(n, h, w, cout)
+    diff = np.abs(ref.astype(np.int32) - got.astype(np.int32))
+    assert diff.max() <= 2
+    assert np.mean(diff > 0) < 1e-3
