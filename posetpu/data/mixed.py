@@ -40,10 +40,11 @@ class MixedDataset(JointsDataset):
             **self.mpii.aug_param_dict,
         }
 
-    def load_record(self, idx: int, rs: np.random.RandomState):
+    def load_record(self, idx: int, rs: np.random.RandomState,
+                    defer_image: bool = False):
         # pseudo-label substitution applies only to the h36m span of the db
         self.pseudo_label = self.h36m.pseudo_label
-        return super().load_record(idx, rs)
+        return super().load_record(idx, rs, defer_image=defer_image)
 
     def group_weights(self, cfg) -> np.ndarray:
         """Per-group sampling weights for batch balancing (H36M_WEIGHT /

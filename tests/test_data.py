@@ -329,3 +329,18 @@ def test_evaluate_writes_overlay_sheets(mpii_root, tmp_path):
 
     img = cv2.imread(str(sheets[0]))
     assert img is not None and img.shape[2] == 3
+
+
+def test_loader_over_mixed_dataset(h36m_root, mpii_root):
+    """GroupLoader's deferred-image batch path must work for MixedDataset
+    (its load_record override once dropped the defer_image kwarg)."""
+    assert str(h36m_root) == str(mpii_root)
+    root = h36m_root
+    if not os.path.exists(root / "mpii" / "annot" / "train.json"):
+        os.link(root / "mpii" / "annot" / "valid.json",
+                root / "mpii" / "annot" / "train.json")
+    ds = MixedDataset(_cfg(root), "train", is_train=True)
+    batches = list(GroupLoader(ds, 2, shuffle=False, prefetch=0))
+    assert len(batches) >= 1
+    assert batches[0]["images"].shape[1:] == (4, 64, 64, 3)
+    assert batches[0]["images"].dtype == np.uint8
