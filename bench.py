@@ -24,19 +24,31 @@ BASELINE_FPS = 5000.0  # /root/repo/BASELINE.json north star
 LOOP_INSIDE = 10  # pipeline steps per host fetch (amortises tunnel RTT)
 
 
-def _build_int8(batch, flip_test: bool = False):
+def _build_int8(batch, flip_test: bool = False, tail: str = "jns"):
     """int8 serving pipeline: PTQ ResNet-50 trunk -> bf16 aggregation fusion
     -> fuse routing -> decode -> triangulate (same stages as the bf16 path).
 
     ``flip_test`` adds the reference's flip-test protocol
     (function.py:557-583): the horizontally mirrored images run through the
     same trunk (folded into the batch) and the un-flipped heatmaps are
-    averaged in — ~2x trunk work, reported as a separate metric."""
+    averaged in — ~2x trunk work, reported as a separate metric.
+
+    ``tail``: "jns" emits the head directly in [J, N, S] (S minor) so the
+    aggregation/routing/decode chain never transposes a J-minor tensor;
+    "nhwc" is the [N, h, w, J] layout (numerically identical —
+    tests/test_tail_jns.py)."""
     import jax
     import jax.numpy as jnp
 
     from posetpu.config import default_config
-    from posetpu.core.inference import final_preds, flip_test_merge, fuse_routing
+    from posetpu.core.inference import (
+        final_preds,
+        final_preds_jns,
+        flip_test_merge,
+        flip_test_merge_jns,
+        fuse_routing,
+        fuse_routing_jns,
+    )
     from posetpu.data.base import union_flip_pairs
     from posetpu.data.synthetic import make_camera_ring, tile_cameras
     from posetpu.geometry.triangulate import triangulate_points
@@ -44,6 +56,7 @@ def _build_int8(batch, flip_test: bool = False):
     from posetpu.models.multiview import Aggregation
     from posetpu.models.quant import (
         aggregation_int8_apply,
+        aggregation_int8_apply_jns,
         make_u8_quant,
         quantize_aggregation,
         quantize_pose_resnet,
@@ -56,7 +69,9 @@ def _build_int8(batch, flip_test: bool = False):
     key = jax.random.PRNGKey(0)
     calib = jax.random.normal(key, (2, 256, 256, 3), jnp.float32)
     variables = model.init(key, calib, train=False)
-    qparams, qfwd = quantize_pose_resnet(model, variables, [np.asarray(calib)])
+    qparams, qfwd = quantize_pose_resnet(
+        model, variables, [np.asarray(calib)], jns_head=(tail == "jns")
+    )
 
     aggre = Aggregation(heatmap_size=64, dtype=jnp.bfloat16)
     aggre_vars = aggre.init(key, jnp.zeros((1, 4, 64, 64, 16)))
@@ -81,14 +96,23 @@ def _build_int8(batch, flip_test: bool = False):
         flat = x.reshape((batch * 4,) + x.shape[2:])
         if flip_test:
             flat = jnp.concatenate([flat, flat[:, :, ::-1, :]])
-        hm = qfwd(params["q"], u8_quant(flat))  # [N*4(*2), h, w, J]
-        if flip_test:
-            hm, hm_f = jnp.split(hm, 2)
-            hm = flip_test_merge(hm, hm_f, flip_pairs)
-        raw = hm.reshape((batch, 4) + hm.shape[1:])
-        fused = aggregation_int8_apply(params["qagg"], raw)
-        out = fuse_routing(raw, fused, is_h36m)
-        preds, maxvals = final_preds(out, center, scale)
+        hm = qfwd(params["q"], u8_quant(flat))
+        if tail == "jns":  # hm: [J, N*4(*2), S], S minor end to end
+            if flip_test:
+                hm, hm_f = jnp.split(hm, 2, axis=1)
+                hm = flip_test_merge_jns(hm, hm_f, flip_pairs, (64, 64))
+            raw = hm.reshape(hm.shape[0], batch, 4, hm.shape[-1])
+            fused = aggregation_int8_apply_jns(params["qagg"], raw)
+            out = fuse_routing_jns(raw, fused, is_h36m)
+            preds, maxvals = final_preds_jns(out, center, scale, (64, 64))
+        else:  # hm: [N*4(*2), h, w, J]
+            if flip_test:
+                hm, hm_f = jnp.split(hm, 2)
+                hm = flip_test_merge(hm, hm_f, flip_pairs)
+            raw = hm.reshape((batch, 4) + hm.shape[1:])
+            fused = aggregation_int8_apply(params["qagg"], raw)
+            out = fuse_routing(raw, fused, is_h36m)
+            preds, maxvals = final_preds(out, center, scale)
         pts3d = triangulate_points(preds, cams, maxvals > 0.0)
         return jnp.sum(pts3d) + jnp.sum(preds)
 

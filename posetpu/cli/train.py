@@ -207,7 +207,11 @@ def main():
             return {**st, "base_model": new_base}
         return new_base
 
-    ckpt = CheckpointManager(output_dir)
+    # async saves overlap the checkpoint's disk write with the next epoch
+    # (the device->host fetch stays on this thread — a second thread
+    # fetching concurrently with dispatch deadlocks the TPU backend);
+    # multi-process runs fall back to synchronous collective saves
+    ckpt = CheckpointManager(output_dir, async_save=True)
     begin_epoch = cfg.TRAIN.BEGIN_EPOCH
     if cfg.TRAIN.RESUME and cfg.TRAIN.RESUME_PATH:
         variables = load_model_variables(

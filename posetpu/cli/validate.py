@@ -31,6 +31,11 @@ def parse_args():
                    help="serve the int8 PTQ trunk (calibrated on the first batches)")
     p.add_argument("--calib-batches", type=int, default=2,
                    help="batches used for int8 activation calibration")
+    p.add_argument("--qat-steps", type=int, default=0,
+                   help="with --int8: distillation QAT fine-tune steps over "
+                        "the eval images before quantizing (repairs the PTQ "
+                        "accuracy delta; no labels needed)")
+    p.add_argument("--qat-lr", type=float, default=3e-6)
     return p.parse_args()
 
 
@@ -76,13 +81,22 @@ def main():
 
         prep = make_prepare_fn(cfg)
         calib = []
+        n_feed = max(1, args.calib_batches)
         for i, host_batch in enumerate(loader):
             dev = prep(host_batch)
             imgs = np.asarray(dev["images"])
             calib.append(imgs.reshape((-1,) + imgs.shape[2:]))
-            if i + 1 >= max(1, args.calib_batches):
+            if i + 1 >= n_feed:
                 break
-        qparams, qfwd, bank = build_quant_from_variables(cfg, variables, calib)
+        qat_batches = None
+        if args.qat_steps > 0:
+            # cycle the calibration images for the requested step count:
+            # distillation QAT needs no labels, just serving-like pixels
+            qat_batches = [calib[i % len(calib)] for i in range(args.qat_steps)]
+            logger.info(f"=> QAT fine-tune: {args.qat_steps} steps @ lr {args.qat_lr}")
+        qparams, qfwd, bank = build_quant_from_variables(
+            cfg, variables, calib, qat_batches=qat_batches, qat_lr=args.qat_lr
+        )
         eval_step = make_quant_eval_step(
             qfwd, cfg, flip_pairs=dataset.flip_pairs, has_aggre=bank is not None,
         )

@@ -41,6 +41,43 @@ def flip_test_merge(output, output_flipped, flip_pairs, shift: bool = False):
     return 0.5 * (output + of)
 
 
+def fuse_routing_jns(raw, fused, is_h36m_mask):
+    """S-minor twin of :func:`fuse_routing`: raw/fused [J, N, V, S]."""
+    if fused is None:
+        return raw
+    m = is_h36m_mask.astype(raw.dtype)[None, :, None, None]
+    return (0.6 * fused + 0.4 * raw) * m + raw * (1.0 - m)
+
+
+def flip_test_merge_jns(output, output_flipped, flip_pairs, hw,
+                        shift: bool = False):
+    """S-minor twin of :func:`flip_test_merge`: [J, ..., S] maps."""
+    from posetpu.ops.heatmap import flip_back_jns, shift_heatmap_right_jns
+
+    of = flip_back_jns(output_flipped, flip_pairs, hw)
+    if shift:
+        of = shift_heatmap_right_jns(of, hw)
+    return 0.5 * (output + of)
+
+
+def final_preds_jns(heatmaps, center, scale, hw, post_process: bool = True):
+    """S-minor twin of :func:`final_preds`.
+
+    heatmaps: [J, N, V, S]; center/scale: [N, V, 2]; hw: static (h, w).
+    Returns (preds [N, V, J, 2], maxvals [N, V, J]) — same contract as
+    final_preds (only the coords/maxvals, which are tiny, get transposed).
+    """
+    from posetpu.ops.heatmap import decode_heatmaps_jns
+
+    h, w = int(hw[0]), int(hw[1])
+    coords, maxvals = decode_heatmaps_jns(heatmaps, (h, w),
+                                          post_process=post_process)
+    coords = jnp.moveaxis(coords, 0, 2)  # [N, V, J, 2] — tiny tensor
+    maxvals = jnp.moveaxis(maxvals, 0, 2)
+    preds = transform_preds(coords, center, scale, (w, h))
+    return preds, maxvals
+
+
 def final_preds(heatmaps, center, scale, post_process: bool = True):
     """Decode heatmaps and map to source-image pixels (get_final_preds).
 

@@ -297,6 +297,26 @@ class _Int8Runner:
         y = self._conv_q(h_q, name, stride=stride, **kw)
         return y.astype(jnp.float32) * (s_h * ws) + b
 
+    def final_jns(self, h_q, s_h):
+        """The 1x1 head emitted directly in [J, N, S] layout (S = H*W minor).
+
+        Making the MXU write the joint axis OUTERMOST means no downstream op
+        ever transposes a J-minor tensor (J=16 of 128 lanes — such transposes
+        retile at 1/8 lane utilisation and measured ~1.5 ms of pure layout
+        copies in the serving tail). h_q: [N, H, W, C] int8 -> [J, N, H*W]."""
+        wq = self.q["weights"]["final"]  # [1, 1, C, J]
+        ws = self.q["w_scales"]["final"]  # [J]
+        b = self.q["biases"]["final"]  # [J]
+        n, hh, ww, c = h_q.shape
+        x = h_q.reshape(n, hh * ww, c)
+        y = jax.lax.dot_general(
+            wq.reshape(c, -1), x,
+            dimension_numbers=(((0,), (2,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [J, N, S]
+        return (y.astype(jnp.float32) * (s_h * ws)[:, None, None]
+                + b[:, None, None])
+
     def dequant(self, h_q, s_h):
         return h_q.astype(jnp.float32) * s_h
 
@@ -306,9 +326,10 @@ class _Int8Runner:
 
 
 def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
-             subpixel_deconvs: bool = False):
+             subpixel_deconvs: bool = False, jns_head: bool = False):
     """Shared calibration/int8 forward over the layer plan.
-    Returns heatmaps [N, h, w, J] (f32)."""
+    Returns heatmaps [N, h, w, J] (f32), or [J, N, h*w] with ``jns_head``
+    (int8 runner only — see _Int8Runner.final_jns)."""
     import flax.linen as nn
 
     plan = _plan(num_layers, deconv_filters, deconv_kernels)
@@ -351,7 +372,10 @@ def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
                     lhs_dilation=(2, 2),
                 )
         else:  # final head: dequantized f32 heatmaps out
-            h_q = runner.conv_f32(h_q, s_h, "final")
+            if jns_head:
+                h_q = runner.final_jns(h_q, s_h)
+            else:
+                h_q = runner.conv_f32(h_q, s_h, "final")
     return h_q
 
 
@@ -397,11 +421,14 @@ def quantize_weights(folded: dict, act_scales: dict,
 
 
 def quantize_pose_resnet(model, variables, calib_batches,
-                         subpixel_deconvs: bool = False) -> tuple[dict, Any]:
+                         subpixel_deconvs: bool = False,
+                         jns_head: bool = False) -> tuple[dict, Any]:
     """One-call PTQ: returns (qparams, jitted int8 forward).
 
     ``calib_batches``: iterable of [N, H, W, 3] float inputs (normalised like
-    training). The returned forward maps inputs to f32 heatmaps.
+    training). The returned forward maps inputs to f32 heatmaps
+    ([N, h, w, J], or [J, N, h*w] with ``jns_head`` — the S-minor serving
+    tail layout, see _Int8Runner.final_jns).
     """
     folded, act_scales = calibrate(model, variables, calib_batches)
     qparams = quantize_weights(folded, act_scales, subpixel_deconvs)
@@ -414,7 +441,7 @@ def quantize_pose_resnet(model, variables, calib_batches,
     def forward(qparams, x):
         runner = _Int8Runner(qparams, policy)
         return _forward(runner, x, num_layers, dfs, dks,
-                        subpixel_deconvs=subpixel_deconvs)
+                        subpixel_deconvs=subpixel_deconvs, jns_head=jns_head)
 
     return qparams, forward
 
@@ -635,3 +662,29 @@ def aggregation_int8_apply(qagg, heatmaps):
     y = jnp.moveaxis(y.reshape(12, n, j, s), 0, 1)  # [N, 12, J, S]
     fused = y.reshape(n, v, 3, j, s).mean(axis=2)
     return jnp.moveaxis(fused, 2, 3).reshape(n, v, h, w_, j)
+
+
+def aggregation_int8_apply_jns(qagg, hm):
+    """S-minor twin of :func:`aggregation_int8_apply` for the jns tail:
+    hm [J, N, V, S] f32 -> fused [J, N, V, S].
+
+    Every reshape/gather here permutes MAJOR axes only — S (=h*w) stays the
+    minor (lane) dimension end to end, so there are no J-minor retiling
+    copies (the cost this layout exists to kill)."""
+    j, n, v, s = hm.shape
+    xq8 = jnp.clip(
+        jnp.round(hm * (1.0 / qagg["x_scale"])), -127, 127
+    ).astype(jnp.int8)
+    src = jnp.asarray(
+        [sv for tgt in range(4) for sv in range(4) if sv != tgt]
+    )
+    g = xq8[:, :, src]  # [J, N, 12, S] int8
+    g = jnp.moveaxis(g, 2, 0).reshape(12, j * n, s)  # major-only permute
+    y = jax.lax.dot_general(
+        g, qagg["wq"],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [12, J*N, S]
+    y = y.astype(jnp.float32) * (qagg["x_scale"] * qagg["w_scale"])
+    fused = y.reshape(v, 3, j, n, s).mean(axis=1)  # [V, J, N, S]
+    return jnp.moveaxis(fused, 0, 2)  # [J, N, V, S] (major-only permute)

@@ -154,6 +154,46 @@ def decode_heatmaps_hwj(heatmaps, post_process: bool = True):
     return coords + offs * ok.astype(jnp.float32)[..., None], maxvals
 
 
+def decode_heatmaps_jns(heatmaps, hw, post_process: bool = True):
+    """S-minor twin of :func:`decode_heatmaps` for [J, ..., S] maps
+    (S = H*W flattened, the serving tail's lane axis).
+
+    The max/argmax reduces run over the MINOR axis at full 128-lane width
+    (the [..., H, W, J] form puts J=16 on lanes — 1/8 utilisation), and the
+    quarter-pixel gathers stay on the same axis.
+
+    Args:
+        heatmaps: [J, ..., S] float maps.
+        hw: static (h, w) with h*w == S.
+
+    Returns coords [J, ..., 2] (x, y) and maxvals [J, ...].
+    """
+    h, w = int(hw[0]), int(hw[1])
+    maxvals, idx = _first_max_index(heatmaps, -1)
+    x = (idx % w).astype(jnp.float32)
+    y = (idx // w).astype(jnp.float32)
+    coords = jnp.stack([x, y], axis=-1)
+    coords = coords * (maxvals > 0.0).astype(jnp.float32)[..., None]
+    if not post_process:
+        return coords, maxvals
+
+    px = idx % w
+    py = idx // w
+
+    def at(dy, dx):
+        yy = jnp.clip(py + dy, 0, h - 1)
+        xx = jnp.clip(px + dx, 0, w - 1)
+        return jnp.take_along_axis(
+            heatmaps, (yy * w + xx)[..., None], axis=-1
+        )[..., 0]
+
+    diff_x = at(0, 1) - at(0, -1)
+    diff_y = at(1, 0) - at(-1, 0)
+    ok = (px > 1) & (px < w - 1) & (py > 1) & (py < h - 1)
+    offs = 0.25 * jnp.stack([jnp.sign(diff_x), jnp.sign(diff_y)], axis=-1)
+    return coords + offs * ok.astype(jnp.float32)[..., None], maxvals
+
+
 def flip_back(heatmaps, flip_pairs):
     """Un-flip heatmaps from a horizontally flipped input: reverse the W axis
     and swap left/right channels (reference: flip_back_th, transforms.py:33-47).
@@ -166,6 +206,30 @@ def flip_back(heatmaps, flip_pairs):
         order[a], order[b] = order[b], order[a]
     out = jnp.flip(heatmaps, axis=-1)
     return jnp.take(out, jnp.array(order), axis=-3)
+
+
+def flip_back_jns(heatmaps, flip_pairs, hw):
+    """S-minor twin of :func:`flip_back`: [J, ..., S] maps.
+
+    The L/R joint swap becomes a gather on the OUTERMOST axis (free — J is
+    the major dim here, vs the J-minor gather the NHWC form pays) and the
+    W-reversal happens inside the flattened S axis."""
+    h, w = int(hw[0]), int(hw[1])
+    j = heatmaps.shape[0]
+    order = list(range(j))
+    for a, b in flip_pairs:
+        order[a], order[b] = order[b], order[a]
+    x = heatmaps.reshape(heatmaps.shape[:-1] + (h, w))[..., ::-1]
+    x = x.reshape(heatmaps.shape)
+    return jnp.take(x, jnp.array(order), axis=0)
+
+
+def shift_heatmap_right_jns(heatmaps, hw):
+    """S-minor twin of :func:`shift_heatmap_right`: [..., S] maps."""
+    h, w = int(hw[0]), int(hw[1])
+    x = heatmaps.reshape(heatmaps.shape[:-1] + (h, w))
+    x = jnp.concatenate([x[..., :, :1], x[..., :, :-1]], axis=-1)
+    return x.reshape(heatmaps.shape)
 
 
 def shift_heatmap_right(heatmaps):

@@ -24,16 +24,59 @@ def _as_abs(path: str) -> str:
 
 
 class CheckpointManager:
-    """Save/restore dicts of TrainState-like pytrees."""
+    """Save/restore dicts of TrainState-like pytrees.
 
-    def __init__(self, directory: str):
+    With ``async_save=True`` the disk write runs on a single worker thread
+    while training continues. The device->host fetch happens ON THE CALLING
+    thread first: fetching device arrays from a second thread concurrently
+    with main-thread dispatch DEADLOCKED the axon/TPU backend in a real
+    training run (all threads parked, save never progressed past epoch 4 —
+    see BUILDLOG round 2) — device access must stay serialized with the
+    step stream. One save is in flight at a time, so ordering is preserved;
+    ``wait_until_finished`` (called automatically before restore/exists and
+    at the next save) joins the worker and re-raises any save error.
+    Multi-process runs fall back to synchronous saves (the orbax save is a
+    collective; deferring it to per-process threads would skew rendezvous).
+    """
+
+    def __init__(self, directory: str, async_save: bool = False):
         self.directory = _as_abs(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
+        self._pool = None
+        self._pending = None
+        if async_save:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="posetpu-ckpt"
+            )
 
     # -------------------------------------------------------------- save
 
-    def save(self, name: str, states: dict, meta: dict | None = None) -> str:
+    def wait_until_finished(self) -> None:
+        """Join any in-flight async save (re-raising its error, if any)."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+        self._ckpt.wait_until_finished()
+
+    def _run(self, job, states: dict):
+        """Join the previous save, then run ``job(states)`` inline (sync
+        mode / multi-process) or on the worker after fetching ``states`` to
+        host numpy on THIS thread (async mode)."""
+        self.wait_until_finished()
+        if self._pool is None or jax.process_count() > 1:
+            return job(states)
+        import numpy as np
+
+        states = jax.tree.map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, states
+        )
+        self._pending = self._pool.submit(job, states)
+        return None
+
+    def _save_sync(self, name: str, states: dict, meta: dict | None) -> str:
         path = os.path.join(self.directory, name)
         self._ckpt.save(path, states, force=True)
         self._ckpt.wait_until_finished()
@@ -42,42 +85,53 @@ class CheckpointManager:
                 json.dump(meta or {}, f)
         return path
 
+    def save(self, name: str, states: dict, meta: dict | None = None) -> str:
+        self._run(lambda st: self._save_sync(name, st, meta), states)
+        return os.path.join(self.directory, name)
+
     def save_epoch(self, epoch: int, states: dict, perf: float,
                    is_best: bool) -> None:
         """The per-epoch checkpoint + best tracking (train.py:368-390).
 
         ``model_best`` is a LOCAL directory copy of the just-saved
         checkpoint, not a second device fetch — device->host transfer is
-        the dominant checkpoint cost (minutes per save through a remote
-        tunnel), and the bytes are identical."""
+        the dominant checkpoint cost, and the bytes are identical."""
         meta = {"epoch": epoch, "perf": float(perf)}
-        path = self.save("checkpoint", states, meta)
-        if is_best and jax.process_index() == 0:
-            import shutil
 
-            best = os.path.join(self.directory, "model_best")
-            tmp = best + ".copying"
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.copytree(path, tmp)
-            shutil.rmtree(best, ignore_errors=True)
-            os.replace(tmp, best)
-            with open(os.path.join(self.directory, "model_best_meta.json"),
-                      "w") as f:
-                json.dump(meta, f)
+        def job(states):
+            path = self._save_sync("checkpoint", states, meta)
+            if is_best and jax.process_index() == 0:
+                import shutil
+
+                best = os.path.join(self.directory, "model_best")
+                tmp = best + ".copying"
+                shutil.rmtree(tmp, ignore_errors=True)
+                shutil.copytree(path, tmp)
+                shutil.rmtree(best, ignore_errors=True)
+                os.replace(tmp, best)
+                with open(os.path.join(self.directory, "model_best_meta.json"),
+                          "w") as f:
+                    json.dump(meta, f)
+
+        self._run(job, states)
 
     def save_final(self, states: dict) -> None:
-        """final_state.pth.tar equivalent (train.py:393-397)."""
+        """final_state.pth.tar equivalent (train.py:393-397). Blocks until
+        written (it is the last save of the run)."""
         self.save("final_state", states)
+        self.wait_until_finished()
 
     # ----------------------------------------------------------- restore
 
     def exists(self, name: str = "checkpoint") -> bool:
+        self.wait_until_finished()
         return os.path.isdir(os.path.join(self.directory, name))
 
     def restore(self, name: str, template: dict | None = None) -> tuple[dict, dict]:
         """Restore a checkpoint. With ``template`` (a states dict of pytrees),
         leaves come back with the template's structure/dtypes; without one the
         raw saved tree is returned. Returns (states, meta)."""
+        self.wait_until_finished()
         path = os.path.join(self.directory, name)
         if template is not None:
             abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)

@@ -86,10 +86,15 @@ def make_quant_eval_step(qfwd, cfg, flip_pairs=None,
     return eval_step
 
 
-def build_quant_from_variables(cfg, variables, calib_batches):
+def build_quant_from_variables(cfg, variables, calib_batches,
+                               qat_batches=None, qat_lr: float = 3e-6):
     """Quantize a MultiViewPose variables tree's resnet trunk; returns
     (qparams, qfwd, aggre_bank or None). Pass ``{"q": qparams, "bank":
-    aggre_bank}`` as the eval step's variables argument."""
+    aggre_bank}`` as the eval step's variables argument.
+
+    ``qat_batches``: optional [N, H, W, 3] image batches — when given, the
+    folded weights are distillation-QAT fine-tuned (posetpu/train/qat.py)
+    before int8 conversion instead of plain PTQ."""
     from posetpu.models import get_pose_net
     from posetpu.models.quant import quantize_pose_resnet
 
@@ -98,7 +103,14 @@ def build_quant_from_variables(cfg, variables, calib_batches):
         "params": variables["params"]["resnet"],
         "batch_stats": variables["batch_stats"]["resnet"],
     }
-    qparams, qfwd = quantize_pose_resnet(resnet, res_vars, calib_batches)
+    if qat_batches:
+        from posetpu.train.qat import quantize_pose_resnet_qat
+
+        qparams, qfwd, _ = quantize_pose_resnet_qat(
+            resnet, res_vars, calib_batches, qat_batches, lr=qat_lr
+        )
+    else:
+        qparams, qfwd = quantize_pose_resnet(resnet, res_vars, calib_batches)
 
     bank = None
     if cfg.NETWORK.AGGRE and "aggre_layer" in variables["params"]:

@@ -163,6 +163,32 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     )
 
 
+def test_checkpoint_async_save_roundtrip(tmp_path, rng):
+    """async_save overlaps the save with training; results must be
+    byte-identical to the synchronous path and errors must surface on join."""
+    from posetpu.train.checkpoint import CheckpointManager
+
+    cfg = _tiny_cfg()
+    model = MultiViewPose(resnet=get_pose_net(cfg), aggre=True)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    batch = jax.tree.map(jnp.asarray, _batch(1, rng))
+    state = init_train_state(model, cfg, tx, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=True)
+    mgr.save_epoch(1, {"base_model": state}, perf=0.5, is_best=True)
+    # second save waits for the first (one in flight at a time)
+    mgr.save_epoch(2, {"base_model": state}, perf=0.9, is_best=True)
+    assert mgr.exists("checkpoint") and mgr.exists("model_best")
+    restored, meta = mgr.restore("checkpoint", {"base_model": state})
+    assert meta["epoch"] == 2
+    np.testing.assert_allclose(
+        np.asarray(restored["base_model"].params["resnet"]["conv1"]["kernel"]),
+        np.asarray(state.params["resnet"]["conv1"]["kernel"]),
+    )
+    mgr.save_final({"base_model": state})
+    assert mgr.exists("final_state")
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 

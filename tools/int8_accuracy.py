@@ -181,13 +181,21 @@ def main():
     from posetpu.cli import validate as validate_cli
 
     results = {}
-    for mode, extra in (("float", []), ("int8", ["--int8"])):
+    for mode, extra in (
+        ("float", []),
+        ("int8", ["--int8"]),
+        ("int8_qat", ["--int8", "--qat-steps", "60"]),
+    ):
         _sys.argv = ["validate", "--cfg", cfg_path, "--state", best[0]] + extra
         print(f"validating ({mode})...", flush=True)
         results[mode] = validate_cli.main()
     results["delta"] = (
-        None if None in results.values()
+        None if results.get("float") is None or results.get("int8") is None
         else float(results["float"]) - float(results["int8"])
+    )
+    results["delta_qat"] = (
+        None if results.get("float") is None or results.get("int8_qat") is None
+        else float(results["float"]) - float(results["int8_qat"])
     )
     print("INT8_ACCURACY " + json.dumps(results, default=str))
 

@@ -1,0 +1,129 @@
+"""Drive the FULL self-training pipeline on the real chip and record the
+iteration-level pseudo-label PCKh progression (the reference's pseudo-label
+table, README.md:216-220 / train.sh:86-109 loop semantics).
+
+Protocol (mini replica of the reference's):
+  - labeled MPII-format blob fixture + unlabeled H36M-format blob fixture
+    (same per-joint blob colors, so detection transfers across sources);
+  - iteration 0: mixed training with NO pseudo labels (h36m target weights
+    are zero -> MPII supervision only), then trainset inference -> heatmap
+    H5 -> pseudo-label minting (threshold + RANSAC + reprojection);
+  - iteration 1: retrain with iteration-0 pseudo labels + the epipolar
+    (fundamental) loss, mint again;
+  - report per-iteration pseudo PCKh and final validation PCKh.
+
+Run: PYTHONPATH=. python tools/pipeline_drive.py [workdir]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import cv2
+import numpy as np
+
+from tools.int8_accuracy import CFG_YAML, build_fixture
+
+N_MPII = 128  # flat images -> 32 fake 4-view groups
+
+
+def build_mpii_fixture(root: str, seed: int = 11) -> None:
+    """MPII-format blob fixture: same rendering as the h36m fixture
+    (tools/int8_accuracy.py) so the 2D detector transfers across sources."""
+    from posetpu.data.synthetic import make_skeleton_poses
+
+    img_w = img_h = 256
+    rng = np.random.RandomState(seed)
+    # reuse the skeleton generator: project with a fixed scaled orthographic
+    # map so the 16 joints land inside the frame like a cropped person
+    poses = np.asarray(make_skeleton_poses(N_MPII, seed=seed))  # [N, 16, 3] mm
+    colors = [(int(80 + 10 * (j + 1)), int(255 - 9 * (j + 1)),
+               int(40 + 12 * (j + 1))) for j in range(16)]
+
+    os.makedirs(os.path.join(root, "mpii", "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "mpii", "annot"), exist_ok=True)
+    annos = []
+    for i in range(N_MPII):
+        pts = poses[i, :, :2]  # frontal orthographic view
+        span = max(pts.max(0) - pts.min(0)) + 1e-3
+        pix = (pts - pts.min(0)) / span * (img_w * 0.7) + img_w * 0.15
+        pix += rng.uniform(-8, 8, size=(1, 2))
+        name = f"m{i:04d}.jpg"
+        img = np.full((img_h, img_w, 3), 16, np.uint8)
+        for j, (x, y) in enumerate(pix):
+            cv2.circle(img, (int(round(x)), int(round(y))), 4, colors[j], -1)
+        cv2.imwrite(os.path.join(root, "mpii", "images", name),
+                    img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+        # invert the loader's matlab fixups (data/mpii.py:_load_db) so the
+        # effective crop covers the whole frame
+        s0 = img_w / 200.0 / 1.25
+        center = np.array([img_w / 2.0 + 1, img_h / 2.0 + 1 - 15 * s0])
+        annos.append({
+            "image": name,
+            "center": center.tolist(),
+            "scale": s0,
+            "joints": (pix + 1).tolist(),
+            "joints_vis": [1.0] * 16,
+        })
+    for subset in ("train", "valid"):
+        with open(os.path.join(root, "mpii", "annot", f"{subset}.json"), "w") as f:
+            json.dump(annos, f)
+
+
+MIXED_CFG = CFG_YAML.replace(
+    "  TRAIN_DATASET: multiview_h36m", "  TRAIN_DATASET: mixed"
+).replace("BATCH_SIZE: 2\n  BEGIN_EPOCH", "BATCH_SIZE: 4\n  BEGIN_EPOCH")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default="/tmp/pipeline_drive")
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=2)
+    args0 = ap.parse_args()
+    work = args0.workdir
+    os.makedirs(work, exist_ok=True)
+    root = os.path.join(work, "data")
+    if not os.path.exists(os.path.join(root, "h36m", "annot", "h36m_train.pkl")):
+        print("building h36m fixture...", flush=True)
+        build_fixture(root)
+    if not os.path.exists(os.path.join(root, "mpii", "annot", "train.json")):
+        print("building mpii fixture...", flush=True)
+        build_mpii_fixture(root)
+
+    cfg_path = os.path.join(work, "exp.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(MIXED_CFG.format(root=root, epochs=args0.epochs))
+
+    os.chdir(work)
+    from posetpu.cli.common import load_cfg
+    from posetpu.cli.pipeline import run_pipeline
+
+    sys.argv = ["pipeline"]
+    args = argparse.Namespace(
+        cfg=cfg_path, modelDir="", logDir="", dataDir="",
+        repeats=args0.repeats, ransac=True, inliers=3, reproj_thre=10.0,
+        confidence_thre=0.7, use_reproj=True, fund=True, fresh=False,
+        no_distortion=True, epochs=args0.epochs,
+    )
+    cfg = load_cfg(args)
+
+    lines = []
+
+    def log(*a):
+        msg = " ".join(str(x) for x in a)
+        lines.append(msg)
+        print(msg, flush=True)
+
+    final_pseudo = run_pipeline(cfg, args, log=log)
+    progression = [ln for ln in lines if "PCKh" in ln or "pseudo" in ln]
+    print("PIPELINE_DRIVE " + json.dumps(
+        {"final_pseudo": final_pseudo, "progression": progression}
+    ))
+
+
+if __name__ == "__main__":
+    main()
