@@ -304,3 +304,14 @@ def test_int8_quant_eval_step_in_validate_loop(synth_h36m_root, tmp_path):
     )
     assert np.isfinite(perf)
     assert np.asarray(heatmaps).shape[1:] == (16, 16, 16)
+
+    # QAT variant of the same serving path: a few distillation fine-tune
+    # steps before quantization (cli.validate --int8 --qat-steps)
+    qparams2, qfwd2, bank2 = build_quant_from_variables(
+        cfg, variables, calib, qat_batches=calib * 2, qat_lr=3e-6
+    )
+    eval_step2 = make_quant_eval_step(
+        qfwd2, cfg, flip_pairs=ds.flip_pairs, has_aggre=True
+    )
+    out2 = eval_step2({"q": qparams2, "bank": bank2}, prep(host))
+    assert np.isfinite(np.asarray(out2["preds"])).all()
