@@ -69,8 +69,10 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "jns"):
     key = jax.random.PRNGKey(0)
     calib = jax.random.normal(key, (2, 256, 256, 3), jnp.float32)
     variables = model.init(key, calib, train=False)
+    jns = tail.startswith("jns")
     qparams, qfwd = quantize_pose_resnet(
-        model, variables, [np.asarray(calib)], jns_head=(tail == "jns")
+        model, variables, [np.asarray(calib)],
+        jns_head=("bf16" if tail == "jns_bf16" else jns),
     )
 
     aggre = Aggregation(heatmap_size=64, dtype=jnp.bfloat16)
@@ -97,7 +99,7 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "jns"):
         if flip_test:
             flat = jnp.concatenate([flat, flat[:, :, ::-1, :]])
         hm = qfwd(params["q"], u8_quant(flat))
-        if tail == "jns":  # hm: [J, N*4(*2), S], S minor end to end
+        if jns:  # hm: [J, N*4(*2), S], S minor end to end
             if flip_test:
                 hm, hm_f = jnp.split(hm, 2, axis=1)
                 hm = flip_test_merge_jns(hm, hm_f, flip_pairs, (64, 64))

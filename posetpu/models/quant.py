@@ -297,13 +297,16 @@ class _Int8Runner:
         y = self._conv_q(h_q, name, stride=stride, **kw)
         return y.astype(jnp.float32) * (s_h * ws) + b
 
-    def final_jns(self, h_q, s_h):
+    def final_jns(self, h_q, s_h, dtype=jnp.float32):
         """The 1x1 head emitted directly in [J, N, S] layout (S = H*W minor).
 
         Making the MXU write the joint axis OUTERMOST means no downstream op
         ever transposes a J-minor tensor (J=16 of 128 lanes — such transposes
         retile at 1/8 lane utilisation and measured ~1.5 ms of pure layout
-        copies in the serving tail). h_q: [N, H, W, C] int8 -> [J, N, H*W]."""
+        copies in the serving tail). h_q: [N, H, W, C] int8 -> [J, N, H*W].
+
+        ``dtype=bfloat16`` halves the tail's HBM traffic; decode tie-breaks
+        can differ where two pixels round to the same bf16 value (opt-in)."""
         wq = self.q["weights"]["final"]  # [1, 1, C, J]
         ws = self.q["w_scales"]["final"]  # [J]
         b = self.q["biases"]["final"]  # [J]
@@ -314,8 +317,9 @@ class _Int8Runner:
             dimension_numbers=(((0,), (2,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [J, N, S]
-        return (y.astype(jnp.float32) * (s_h * ws)[:, None, None]
-                + b[:, None, None])
+        y = (y.astype(jnp.float32) * (s_h * ws)[:, None, None]
+             + b[:, None, None])
+        return y.astype(dtype)
 
     def dequant(self, h_q, s_h):
         return h_q.astype(jnp.float32) * s_h
@@ -373,7 +377,10 @@ def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
                 )
         else:  # final head: dequantized f32 heatmaps out
             if jns_head:
-                h_q = runner.final_jns(h_q, s_h)
+                h_q = runner.final_jns(
+                    h_q, s_h,
+                    dtype=jnp.bfloat16 if jns_head == "bf16" else jnp.float32,
+                )
             else:
                 h_q = runner.conv_f32(h_q, s_h, "final")
     return h_q
@@ -685,6 +692,8 @@ def aggregation_int8_apply_jns(qagg, hm):
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32,
     )  # [12, J*N, S]
-    y = y.astype(jnp.float32) * (qagg["x_scale"] * qagg["w_scale"])
+    y = (y.astype(jnp.float32) * (qagg["x_scale"] * qagg["w_scale"])).astype(
+        hm.dtype  # keep the tail's dtype (bf16 tail stays bf16 throughout)
+    )
     fused = y.reshape(v, 3, j, n, s).mean(axis=1)  # [V, J, N, S]
     return jnp.moveaxis(fused, 0, 2)  # [J, N, V, S] (major-only permute)

@@ -85,3 +85,24 @@ def test_jns_tail_matches_nhwc_tail(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(preds_jns), np.asarray(preds),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_jns_bf16_tail_close_to_f32(rng):
+    """The opt-in bf16 tail may flip quarter-pixel ties, but on peaked
+    (realistic) heatmaps the decoded joints stay within a heatmap pixel.
+    (On UNIFORM-noise maps bf16 rounding creates argmax ties by
+    construction — that is not the serving distribution.)"""
+    from posetpu.ops.heatmap import decode_heatmaps_jns, render_gaussian_heatmaps
+
+    j, n, v, h, w = 16, 2, 4, 16, 16
+    joints = rng.rand(n * v, j, 2).astype(np.float32) * 60 + 2
+    target, _ = render_gaussian_heatmaps(
+        jnp.asarray(joints), jnp.ones((n * v, j)), (w, h), (64, 64), sigma=1.5
+    )  # [N*V, J, H, W]
+    hm = jnp.moveaxis(target, 1, 0).reshape(j, n, v, h * w)
+    hm = hm + jnp.asarray(rng.rand(j, n, v, h * w).astype(np.float32)) * 0.01
+    c32, _ = decode_heatmaps_jns(hm, (h, w))
+    c16, m16 = decode_heatmaps_jns(hm.astype(jnp.bfloat16), (h, w))
+    assert np.isfinite(np.asarray(m16, np.float32)).all()
+    d = np.abs(np.asarray(c16, np.float32) - np.asarray(c32))
+    assert (d <= 1.0).all(), d.max()
