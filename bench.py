@@ -24,7 +24,8 @@ BASELINE_FPS = 5000.0  # /root/repo/BASELINE.json north star
 LOOP_INSIDE = 10  # pipeline steps per host fetch (amortises tunnel RTT)
 
 
-def _build_int8(batch, flip_test: bool = False, tail: str = "jns"):
+def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
+                stem_s2d: bool = False, subpixel_deconvs=False):
     """int8 serving pipeline: PTQ ResNet-50 trunk -> bf16 aggregation fusion
     -> fuse routing -> decode -> triangulate (same stages as the bf16 path).
 
@@ -35,8 +36,12 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "jns"):
 
     ``tail``: "jns" emits the head directly in [J, N, S] (S minor) so the
     aggregation/routing/decode chain never transposes a J-minor tensor;
-    "nhwc" is the [N, h, w, J] layout (numerically identical —
-    tests/test_tail_jns.py)."""
+    "phase" additionally runs the LAST deconv as four per-phase subpixel
+    convs whose groups feed the head directly and emerge phase-PACKED (no
+    dilated conv, no interleave, no gather; aggregation bank exactly
+    permuted offline, decode via static index tables);
+    "nhwc" is the [N, h, w, J] layout (all numerically identical —
+    tests/test_tail_jns.py, tests/test_phase_tail.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -69,15 +74,23 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "jns"):
     key = jax.random.PRNGKey(0)
     calib = jax.random.normal(key, (2, 256, 256, 3), jnp.float32)
     variables = model.init(key, calib, train=False)
-    jns = tail.startswith("jns")
+    jns = tail.startswith("jns") or tail == "phase"
+    jns_head = {"jns_bf16": "bf16", "phase": "phase"}.get(tail, jns)
     qparams, qfwd = quantize_pose_resnet(
-        model, variables, [np.asarray(calib)],
-        jns_head=("bf16" if tail == "jns_bf16" else jns),
+        model, variables, [np.asarray(calib)], jns_head=jns_head,
+        stem_s2d=stem_s2d, subpixel_deconvs=subpixel_deconvs,
     )
 
     aggre = Aggregation(heatmap_size=64, dtype=jnp.bfloat16)
     aggre_vars = aggre.init(key, jnp.zeros((1, 4, 64, 64, 16)))
     qagg = quantize_aggregation(aggre_vars["params"]["weight"])
+    tables = None
+    if tail == "phase":
+        from posetpu.models.quant import permute_aggregation_packed
+        from posetpu.ops.heatmap import phase_index_tables
+
+        tables = phase_index_tables((64, 64))
+        qagg = permute_aggregation_packed(qagg, tables)
 
     # serving input is raw uint8 camera frames: the (x/255-mean)/std
     # normalisation + input quantisation fold into one affine on the bytes
@@ -99,7 +112,22 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "jns"):
         if flip_test:
             flat = jnp.concatenate([flat, flat[:, :, ::-1, :]])
         hm = qfwd(params["q"], u8_quant(flat))
-        if jns:  # hm: [J, N*4(*2), S], S minor end to end
+        if tail == "phase":  # hm: [J, N*4(*2), S] phase-PACKED maps
+            from posetpu.core.inference import (
+                final_preds_packed,
+                flip_test_merge_packed,
+            )
+
+            if flip_test:
+                hm, hm_f = jnp.split(hm, 2, axis=1)
+                hm = flip_test_merge_packed(hm, hm_f, flip_pairs, (64, 64))
+            raw = hm.reshape(hm.shape[0], batch, 4, hm.shape[-1])
+            fused = aggregation_int8_apply_jns(params["qagg"], raw)
+            out = fuse_routing_jns(raw, fused, is_h36m)
+            preds, maxvals = final_preds_packed(
+                out, center, scale, (64, 64), tables
+            )
+        elif jns:  # hm: [J, N*4(*2), S], S minor end to end
             if flip_test:
                 hm, hm_f = jnp.split(hm, 2, axis=1)
                 hm = flip_test_merge_jns(hm, hm_f, flip_pairs, (64, 64))
@@ -213,11 +241,14 @@ def main():
         results["bf16_fused"] = max(
             results.get("bf16_fused", 0.0), _measure(pipeline, variables, x, batch, rtt)
         )
-        qpipe, qparams, qx = _build_int8(batch)
+        # adopted serving config (PERF.md win #5): phase-PACKED tail +
+        # per-name subpixel deconv0
+        qpipe, qparams, qx = _build_int8(batch, subpixel_deconvs={"deconv0"})
         results["int8"] = max(
             results.get("int8", 0.0), _measure(qpipe, qparams, qx, batch, rtt)
         )
-        fpipe, fparams, fx = _build_int8(batch, flip_test=True)
+        fpipe, fparams, fx = _build_int8(batch, flip_test=True,
+                                         subpixel_deconvs={"deconv0"})
         results["int8_flip"] = max(
             results.get("int8_flip", 0.0),
             _measure(fpipe, fparams, fx, batch, rtt),

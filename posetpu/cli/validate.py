@@ -36,6 +36,10 @@ def parse_args():
                         "the eval images before quantizing (repairs the PTQ "
                         "accuracy delta; no labels needed)")
     p.add_argument("--qat-lr", type=float, default=3e-6)
+    p.add_argument("--int8-subpixel", default="",
+                   help="with --int8: comma-separated deconv names to "
+                        "quantize in per-phase subpixel form (finer weight "
+                        "scales; bench's adopted serving config is deconv0)")
     return p.parse_args()
 
 
@@ -94,8 +98,10 @@ def main():
             # distillation QAT needs no labels, just serving-like pixels
             qat_batches = [calib[i % len(calib)] for i in range(args.qat_steps)]
             logger.info(f"=> QAT fine-tune: {args.qat_steps} steps @ lr {args.qat_lr}")
+        subpixel = set(filter(None, args.int8_subpixel.split(",")))
         qparams, qfwd, bank = build_quant_from_variables(
-            cfg, variables, calib, qat_batches=qat_batches, qat_lr=args.qat_lr
+            cfg, variables, calib, qat_batches=qat_batches, qat_lr=args.qat_lr,
+            subpixel_deconvs=subpixel or False,
         )
         eval_step = make_quant_eval_step(
             qfwd, cfg, flip_pairs=dataset.flip_pairs, has_aggre=bank is not None,

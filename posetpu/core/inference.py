@@ -60,6 +60,19 @@ def flip_test_merge_jns(output, output_flipped, flip_pairs, hw,
     return 0.5 * (output + of)
 
 
+def flip_test_merge_packed(output, output_flipped, flip_pairs, hw,
+                           shift: bool = False):
+    """Phase-PACKED twin of :func:`flip_test_merge_jns` (maps stay in the
+    phase_index_tables order; the W-flip and right-shift become static
+    phase-group permutations — see ops/heatmap.flip_back_packed)."""
+    from posetpu.ops.heatmap import flip_back_packed, shift_heatmap_right_packed
+
+    of = flip_back_packed(output_flipped, flip_pairs, hw)
+    if shift:
+        of = shift_heatmap_right_packed(of, hw)
+    return 0.5 * (output + of)
+
+
 def final_preds_jns(heatmaps, center, scale, hw, post_process: bool = True):
     """S-minor twin of :func:`final_preds`.
 
@@ -73,6 +86,21 @@ def final_preds_jns(heatmaps, center, scale, hw, post_process: bool = True):
     coords, maxvals = decode_heatmaps_jns(heatmaps, (h, w),
                                           post_process=post_process)
     coords = jnp.moveaxis(coords, 0, 2)  # [N, V, J, 2] — tiny tensor
+    maxvals = jnp.moveaxis(maxvals, 0, 2)
+    preds = transform_preds(coords, center, scale, (w, h))
+    return preds, maxvals
+
+
+def final_preds_packed(heatmaps, center, scale, hw, tables,
+                       post_process: bool = True):
+    """Phase-packed twin of :func:`final_preds_jns` (see
+    ops/heatmap.decode_heatmaps_packed). heatmaps: [J, N, V, S] packed."""
+    from posetpu.ops.heatmap import decode_heatmaps_packed
+
+    h, w = int(hw[0]), int(hw[1])
+    coords, maxvals = decode_heatmaps_packed(heatmaps, tables, (h, w),
+                                             post_process=post_process)
+    coords = jnp.moveaxis(coords, 0, 2)
     maxvals = jnp.moveaxis(maxvals, 0, 2)
     preds = transform_preds(coords, center, scale, (w, h))
     return preds, maxvals

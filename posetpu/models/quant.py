@@ -136,10 +136,48 @@ def subpixel_deconv_weights(wf):
     return np.concatenate(groups, axis=-1)
 
 
-def _subpixel_conv(x, w_phase, prefer):
-    """The stride-1 2x2 phase conv: x [N, H, W, I] -> z [N, H+1, W+1, 4*O]."""
+def s2d_stem_weights(w):
+    """[7, 7, C, O] stride-2 stem kernel -> [4, 4, 4*C, O] space-to-depth
+    form: pad to 8x8 with a zero row/col at the FRONT (keeps the centre
+    aligned for stride-2 padding 3 -> stride-1 padding (2, 1)), then fold
+    the 2x2 input phases into channels, ordered (a, b) major to match the
+    s2d reshape in _Int8Runner.qchain. Same weight set (plus zeros), so
+    per-output-channel quantization scales — and the int8 values — are
+    unchanged, keeping the s2d stem bit-exact vs the standard int8 stem."""
+    w = np.asarray(w)
+    k, _, c, o = w.shape
+    assert k == 7
+    w8 = np.zeros((8, 8, c, o), w.dtype)
+    w8[1:8, 1:8] = w
+    out = np.zeros((4, 4, 4 * c, o), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            out[:, :, (a * 2 + b) * c:(a * 2 + b + 1) * c] = w8[a::2, b::2]
+    return out
+
+
+def _s2d(x):
+    """[N, H, W, C] -> [N, H/2, W/2, 4*C] space-to-depth, phase (a, b) major
+    in channels (matches s2d_stem_weights)."""
+    n, h, w, c = x.shape
+    xd = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    xd = xd.transpose(0, 1, 3, 2, 4, 5)
+    return xd.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _subpixel_wants(subpixel_deconvs, name) -> bool:
+    """``subpixel_deconvs`` is either a bool (all k4 deconvs) or a collection
+    of deconv names (per-site policy)."""
+    if isinstance(subpixel_deconvs, bool):
+        return subpixel_deconvs
+    return name in subpixel_deconvs
+
+
+def _subpixel_conv(x, w_phase, prefer, padding=((1, 1), (1, 1))):
+    """The stride-1 2x2 phase conv: x [N, H, W, I] -> z [N, H+1, W+1, 4*O]
+    (or per-group valid windows with phase-dependent ``padding``)."""
     return jax.lax.conv_general_dilated(
-        x, w_phase, (1, 1), [(1, 1), (1, 1)],
+        x, w_phase, (1, 1), list(padding),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=prefer,
     )
@@ -269,11 +307,18 @@ class _Int8Runner:
             return x, s
         return self._quant(x, s), s
 
-    def qchain(self, h_q, s_h, name, stride=1, relu=True, subpixel=False, **kw):
+    def qchain(self, h_q, s_h, name, stride=1, relu=True, subpixel=False,
+               s2d=False, **kw):
         wq = self.q["weights"][name]
         ws = self.q["w_scales"][name]
         b = self.q["biases"][name]
         s_out = self.q["act_scales"][f"{name}.out"]
+        if s2d:
+            # space-to-depth stem: the 7x7/s2 conv's Cin=3 starves the MXU
+            # contraction; fold 2x2 input phases into channels (Cin=12) and
+            # run the 4x4/s1 form (s2d_stem_weights) — bit-exact
+            h_q = _s2d(h_q)
+            stride, kw = 1, {"padding": [(2, 1), (2, 1)]}
         if subpixel:
             # requantize BEFORE the depth-to-space: bias/ReLU/quantize fuse
             # into the conv epilogue and the interleave shuffles int8 bytes
@@ -321,6 +366,66 @@ class _Int8Runner:
              + b[:, None, None])
         return y.astype(dtype)
 
+    def subpixel_phases(self, h_q, s_h, name):
+        """Last-deconv as a stride-1 2x2 subpixel conv, KEEPING the four
+        phase groups (no depth-to-space): [N, H, W, I] int8 -> tuple of four
+        [N, H+1, W+1, O] int8 phase maps. The interleave that sank the
+        earlier subpixel experiments (PERF.md) is never materialized — the
+        phase head (final_phase) consumes the groups directly and decode
+        fixes the indexing with static tables. Four separate convs, NOT one
+        [2, 2, I, 4*O] conv: the single-conv form needs a (4, O) minor-axis
+        split before the head, which XLA materializes as a 1.5 ms retile
+        copy of the 143 MB int8 tensor (measured, device trace); per-group
+        convs keep every reshape layout-preserving at the cost of re-reading
+        the 33 MB input. The PADDING per group, ((1-a, a), (1-b, b)),
+        selects exactly the group's valid [H, W] window — no halo compute,
+        no downstream slice/gather (a halo+gather variant measured a 1.5 ms
+        fused-gather op)."""
+        wq = self.q["weights"][name]  # [4, 4, I, O] int8
+        ws = self.q["w_scales"][name]
+        b = self.q["biases"][name]
+        s_out = self.q["act_scales"][f"{name}.out"]
+        zs = []
+        for a in range(2):
+            for bb in range(2):
+                z = _subpixel_conv(
+                    h_q, wq[a::2, bb::2], jnp.int32,
+                    padding=((1 - a, a), (1 - bb, bb)),
+                )  # [N, H, W, O]
+                zf = z.astype(jnp.float32) * (s_h * ws) + b
+                zs.append(self._quant(jax.nn.relu(zf), s_out))
+        return tuple(zs), s_out
+
+    def final_phase(self, zs, s_z):
+        """Phase twin of final_jns. zs: four [N, bh, bw, C] int8 phase maps
+        (subpixel_phases order, valid windows only) -> [J, N, 4*bh*bw] f32
+        in the phase-PACKED order of ops/heatmap.phase_index_tables: each
+        group runs exactly final_jns's [C, J] dot_general with its
+        layout-preserving (n, bh*bw, c) reshape, and the int32 outputs stack
+        on a major axis before one fused f32 epilogue. Same head MACs as the
+        interleaved head (a block-diagonal [4C, 4J] formulation measured 4x
+        the MACs and lost 440 f/s end to end; a (4, C)-channel-blocked
+        tensor lost 2 ms to minor-axis retile copies). int32 accumulation
+        keeps this bit-identical to head-after-interleave."""
+        wq = self.q["weights"]["final"]  # [1, 1, C, J]
+        ws = self.q["w_scales"]["final"]
+        bias = self.q["biases"]["final"]
+        c, j = wq.shape[2], wq.shape[3]
+        n, hh, ww, _ = zs[0].shape
+        w2 = wq.reshape(c, j)
+        ys = [
+            jax.lax.dot_general(
+                w2, z.reshape(n, hh * ww, c),
+                dimension_numbers=(((0,), (2,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [J, N, bh*bw]
+            for z in zs
+        ]
+        y = jnp.stack(ys, axis=2)  # [J, N, 4, bh*bw] int32
+        y = (y.astype(jnp.float32) * (s_z * ws)[:, None, None, None]
+             + bias[:, None, None, None])
+        return y.reshape(j, n, 4 * hh * ww)
+
     def dequant(self, h_q, s_h):
         return h_q.astype(jnp.float32) * s_h
 
@@ -330,7 +435,8 @@ class _Int8Runner:
 
 
 def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
-             subpixel_deconvs: bool = False, jns_head: bool = False):
+             subpixel_deconvs: bool = False, jns_head: bool = False,
+             stem_s2d: bool = False):
     """Shared calibration/int8 forward over the layer plan.
     Returns heatmaps [N, h, w, J] (f32), or [J, N, h*w] with ``jns_head``
     (int8 runner only — see _Int8Runner.final_jns)."""
@@ -340,7 +446,10 @@ def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
     h_q, s_h = runner.input(x)
     for kind, info in plan:
         if kind == "stem":
-            h_q, s_h = runner.qchain(h_q, s_h, "stem", stride=2)
+            if stem_s2d:
+                h_q, s_h = runner.qchain(h_q, s_h, "stem", s2d=True)
+            else:
+                h_q, s_h = runner.qchain(h_q, s_h, "stem", stride=2)
             # max-pool commutes with the (positive-scale) quantization
             h_q = nn.max_pool(h_q, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         elif kind == "block":
@@ -362,10 +471,20 @@ def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
             h_q, s_h = runner.requant(out, f"{name}.out")
         elif kind == "deconv":
             k = info["kernel"]
-            if k == 4 and subpixel_deconvs:
-                # subpixel decomposition: 4x fewer MACs, but measured a wash
-                # vs XLA's dilated int8 conv once interleave movement is paid
-                # (10.8 vs 10.2 ms full model) — kept as an option
+            is_last = info["name"] == f"deconv{len(deconv_filters) - 1}"
+            if jns_head == "phase" and is_last and k == 4:
+                # phase-domain tail: the last k4/s2 deconv runs as a stride-1
+                # subpixel conv whose phase groups flow straight into the
+                # head — the dilated conv's 4x zero-tap waste AND the
+                # depth-to-space interleave both disappear (the measured
+                # killer of the plain-subpixel variants, PERF.md)
+                h_q, s_h = runner.subpixel_phases(h_q, s_h, info["name"])
+            elif k == 4 and _subpixel_wants(subpixel_deconvs, info["name"]):
+                # subpixel decomposition: 4x fewer MACs. ALL-deconv subpixel
+                # measured a wash (the 64x64 interleave's data movement eats
+                # the MAC win) but per-name selection pays where the
+                # contraction is deep and the interleave tensor small
+                # (deconv0: I=2048, 16x16 output)
                 h_q, s_h = runner.qchain(h_q, s_h, info["name"], subpixel=True)
             else:
                 pad = k - 1 - (1 if k in (3, 4) else 0)
@@ -376,7 +495,9 @@ def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
                     lhs_dilation=(2, 2),
                 )
         else:  # final head: dequantized f32 heatmaps out
-            if jns_head:
+            if jns_head == "phase":
+                h_q = runner.final_phase(h_q, s_h)  # [J, N, 4*S']
+            elif jns_head:
                 h_q = runner.final_jns(
                     h_q, s_h,
                     dtype=jnp.bfloat16 if jns_head == "bf16" else jnp.float32,
@@ -408,11 +529,15 @@ def calibrate(model, variables, batches) -> tuple[dict, dict]:
 
 
 def quantize_weights(folded: dict, act_scales: dict,
-                     subpixel_deconvs: bool = False) -> dict:
+                     subpixel_deconvs: bool = False,
+                     stem_s2d: bool = False) -> dict:
     """Per-output-channel int8 weight quantization of the folded params."""
     weights, w_scales, biases = {}, {}, {}
     for name, (w, b) in folded.items():
-        if subpixel_deconvs and name.startswith("deconv") and w.shape[0] == 4:
+        if stem_s2d and name == "stem":
+            w = s2d_stem_weights(w)  # [4, 4, 4*C, O]
+        if (_subpixel_wants(subpixel_deconvs, name)
+                and name.startswith("deconv") and w.shape[0] == 4):
             w = subpixel_deconv_weights(w)  # [2, 2, I, 4*O]
         s = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0  # [o or 4o]
         wq = np.clip(np.round(w / s[None, None, None, :]), -127, 127).astype(np.int8)
@@ -429,7 +554,8 @@ def quantize_weights(folded: dict, act_scales: dict,
 
 def quantize_pose_resnet(model, variables, calib_batches,
                          subpixel_deconvs: bool = False,
-                         jns_head: bool = False) -> tuple[dict, Any]:
+                         jns_head: bool = False,
+                         stem_s2d: bool = False) -> tuple[dict, Any]:
     """One-call PTQ: returns (qparams, jitted int8 forward).
 
     ``calib_batches``: iterable of [N, H, W, 3] float inputs (normalised like
@@ -438,7 +564,8 @@ def quantize_pose_resnet(model, variables, calib_batches,
     tail layout, see _Int8Runner.final_jns).
     """
     folded, act_scales = calibrate(model, variables, calib_batches)
-    qparams = quantize_weights(folded, act_scales, subpixel_deconvs)
+    qparams = quantize_weights(folded, act_scales, subpixel_deconvs,
+                               stem_s2d=stem_s2d)
 
     num_layers = model.num_layers
     dfs, dks = model.deconv_filters, model.deconv_kernels
@@ -448,7 +575,8 @@ def quantize_pose_resnet(model, variables, calib_batches,
     def forward(qparams, x):
         runner = _Int8Runner(qparams, policy)
         return _forward(runner, x, num_layers, dfs, dks,
-                        subpixel_deconvs=subpixel_deconvs, jns_head=jns_head)
+                        subpixel_deconvs=subpixel_deconvs, jns_head=jns_head,
+                        stem_s2d=stem_s2d)
 
     return qparams, forward
 
@@ -669,6 +797,21 @@ def aggregation_int8_apply(qagg, heatmaps):
     y = jnp.moveaxis(y.reshape(12, n, j, s), 0, 1)  # [N, 12, J, S]
     fused = y.reshape(n, v, 3, j, s).mean(axis=2)
     return jnp.moveaxis(fused, 2, 3).reshape(n, v, h, w_, j)
+
+
+def permute_aggregation_packed(qagg, tables):
+    """Offline, EXACT re-index of the [12, S, S] int8 aggregation bank into
+    the phase-packed S order (ops/heatmap.phase_index_tables): the packed
+    fused output equals the row-major fused output re-indexed — the int8
+    products are identical, only summation order changes (int32-exact)."""
+    r = np.asarray(tables["rowmajor"])
+    wq = np.asarray(qagg["wq"])[:, r][:, :, r]
+    ws = np.asarray(qagg["w_scale"])[:, :, r]
+    return {
+        "wq": jnp.asarray(wq),
+        "w_scale": jnp.asarray(ws),
+        "x_scale": qagg["x_scale"],
+    }
 
 
 def aggregation_int8_apply_jns(qagg, hm):

@@ -194,6 +194,99 @@ def decode_heatmaps_jns(heatmaps, hw, post_process: bool = True):
     return coords + offs * ok.astype(jnp.float32)[..., None], maxvals
 
 
+def phase_index_tables(hw):
+    """Static index tables tying the phase-packed heatmap layout to the
+    row-major one (see quant._Int8Runner.{subpixel_phases, final_phase} —
+    the phase tail's head emits this order directly; no runtime gather or
+    interleave exists anywhere in the tail).
+
+    Packed index p = (2a+b)*bh*bw + i*bw + j corresponds to the row-major
+    pixel (y, x) = (2i+a, 2j+b). Returns dict of [h*w] int32 numpy arrays:
+    ``rowmajor`` (rowmajor index of packed position p) and ``packed``
+    (packed position of rowmajor index r).
+    """
+    import numpy as np
+
+    h, w = int(hw[0]), int(hw[1])
+    bh, bw = h // 2, w // 2
+    g, i, j = np.meshgrid(np.arange(4), np.arange(bh), np.arange(bw),
+                          indexing="ij")
+    a, b = g // 2, g % 2
+    rowmajor = ((2 * i + a) * w + (2 * j + b)).reshape(-1).astype(np.int32)
+    packed = np.empty(h * w, np.int32)
+    packed[rowmajor] = np.arange(h * w, dtype=np.int32)
+    return {"rowmajor": rowmajor, "packed": packed}
+
+
+def decode_heatmaps_packed(heatmaps, tables, hw, post_process: bool = True):
+    """decode_heatmaps over PHASE-PACKED [J, ..., S] maps, with the exact
+    row-major first-occurrence tie-break of the reference's argmax: the max
+    is found over the packed axis, then the winning index is the MINIMUM
+    row-major position among the hits (a static [S] lookup).
+
+    Returns coords [J, ..., 2] in row-major (x, y) pixels and maxvals.
+    """
+    h, w = int(hw[0]), int(hw[1])
+    rtab = jnp.asarray(tables["rowmajor"])
+    ptab = jnp.asarray(tables["packed"])
+    maxvals = jnp.max(heatmaps, axis=-1)
+    hit = heatmaps == maxvals[..., None]
+    r = jnp.min(jnp.where(hit, rtab, h * w), axis=-1)
+    r = jnp.minimum(r, h * w - 1)
+    x = (r % w).astype(jnp.float32)
+    y = (r // w).astype(jnp.float32)
+    coords = jnp.stack([x, y], axis=-1)
+    coords = coords * (maxvals > 0.0).astype(jnp.float32)[..., None]
+    if not post_process:
+        return coords, maxvals
+
+    px = r % w
+    py = r // w
+
+    def at(dy, dx):
+        yy = jnp.clip(py + dy, 0, h - 1)
+        xx = jnp.clip(px + dx, 0, w - 1)
+        p = jnp.take(ptab, yy * w + xx)
+        return jnp.take_along_axis(heatmaps, p[..., None], axis=-1)[..., 0]
+
+    diff_x = at(0, 1) - at(0, -1)
+    diff_y = at(1, 0) - at(-1, 0)
+    ok = (px > 1) & (px < w - 1) & (py > 1) & (py < h - 1)
+    offs = 0.25 * jnp.stack([jnp.sign(diff_x), jnp.sign(diff_y)], axis=-1)
+    return coords + offs * ok.astype(jnp.float32)[..., None], maxvals
+
+
+def flip_back_packed(heatmaps, flip_pairs, hw):
+    """Phase-PACKED twin of :func:`flip_back_jns`: [J, ..., S] packed maps
+    (phase_index_tables order). The W-reversal decomposes into two static,
+    layout-preserving moves — phase column swap b -> 1-b and a within-phase
+    bw-reversal — because x = 2j+b maps to w-1-x = 2(bw-1-j) + (1-b)."""
+    h, w = int(hw[0]), int(hw[1])
+    bh, bw = h // 2, w // 2
+    j = heatmaps.shape[0]
+    order = list(range(j))
+    for a, b in flip_pairs:
+        order[a], order[b] = order[b], order[a]
+    x = heatmaps.reshape(heatmaps.shape[:-1] + (2, 2, bh, bw))
+    x = x[..., :, ::-1, :, ::-1]
+    x = x.reshape(heatmaps.shape)
+    return jnp.take(x, jnp.array(order), axis=0)
+
+
+def shift_heatmap_right_packed(heatmaps, hw):
+    """Phase-PACKED twin of :func:`shift_heatmap_right_jns`. Shifting one
+    pixel right sends phase b=0 -> b=1 at the same within-phase column and
+    b=1 -> b=0 at column j+1 (first column duplicated, like the row-major
+    form)."""
+    h, w = int(hw[0]), int(hw[1])
+    bh, bw = h // 2, w // 2
+    x = heatmaps.reshape(heatmaps.shape[:-1] + (2, 2, bh, bw))
+    b0, b1 = x[..., 0, :, :], x[..., 1, :, :]  # [..., 2(a), bh, bw]
+    new_b0 = jnp.concatenate([b0[..., :1], b1[..., :-1]], axis=-1)
+    x = jnp.stack([new_b0, b0], axis=-3)
+    return x.reshape(heatmaps.shape)
+
+
 def flip_back(heatmaps, flip_pairs):
     """Un-flip heatmaps from a horizontally flipped input: reverse the W axis
     and swap left/right channels (reference: flip_back_th, transforms.py:33-47).

@@ -87,14 +87,19 @@ def make_quant_eval_step(qfwd, cfg, flip_pairs=None,
 
 
 def build_quant_from_variables(cfg, variables, calib_batches,
-                               qat_batches=None, qat_lr: float = 3e-6):
+                               qat_batches=None, qat_lr: float = 3e-6,
+                               subpixel_deconvs=False):
     """Quantize a MultiViewPose variables tree's resnet trunk; returns
     (qparams, qfwd, aggre_bank or None). Pass ``{"q": qparams, "bank":
     aggre_bank}`` as the eval step's variables argument.
 
     ``qat_batches``: optional [N, H, W, 3] image batches — when given, the
     folded weights are distillation-QAT fine-tuned (posetpu/train/qat.py)
-    before int8 conversion instead of plain PTQ."""
+    before int8 conversion instead of plain PTQ.
+
+    ``subpixel_deconvs``: bool or set of deconv names to quantize in the
+    per-phase subpixel form (finer per-phase weight scales; the bench's
+    adopted serving config uses {"deconv0"}). PTQ only."""
     from posetpu.models import get_pose_net
     from posetpu.models.quant import quantize_pose_resnet
 
@@ -106,11 +111,15 @@ def build_quant_from_variables(cfg, variables, calib_batches,
     if qat_batches:
         from posetpu.train.qat import quantize_pose_resnet_qat
 
+        assert not subpixel_deconvs, "subpixel_deconvs is PTQ-only"
         qparams, qfwd, _ = quantize_pose_resnet_qat(
             resnet, res_vars, calib_batches, qat_batches, lr=qat_lr
         )
     else:
-        qparams, qfwd = quantize_pose_resnet(resnet, res_vars, calib_batches)
+        qparams, qfwd = quantize_pose_resnet(
+            resnet, res_vars, calib_batches,
+            subpixel_deconvs=subpixel_deconvs,
+        )
 
     bank = None
     if cfg.NETWORK.AGGRE and "aggre_layer" in variables["params"]:
