@@ -25,7 +25,8 @@ LOOP_INSIDE = 10  # pipeline steps per host fetch (amortises tunnel RTT)
 
 
 def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
-                stem_s2d: bool = False, subpixel_deconvs=False):
+                stem_s2d: bool = False, subpixel_deconvs=False,
+                phase_kernel: bool = False, grouped_aggre: bool = False):
     """int8 serving pipeline: PTQ ResNet-50 trunk -> bf16 aggregation fusion
     -> fuse routing -> decode -> triangulate (same stages as the bf16 path).
 
@@ -79,17 +80,32 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
     qparams, qfwd = quantize_pose_resnet(
         model, variables, [np.asarray(calib)], jns_head=jns_head,
         stem_s2d=stem_s2d, subpixel_deconvs=subpixel_deconvs,
+        phase_kernel=phase_kernel,
     )
 
     aggre = Aggregation(heatmap_size=64, dtype=jnp.bfloat16)
     aggre_vars = aggre.init(key, jnp.zeros((1, 4, 64, 64, 16)))
-    qagg = quantize_aggregation(aggre_vars["params"]["weight"])
+    if grouped_aggre:
+        # fused-mean aggregation: one dot_general, pair mean inside the MXU
+        from posetpu.models.quant import (
+            aggregation_int8_apply_jns_grouped,
+            quantize_aggregation_grouped,
+        )
+
+        qagg = quantize_aggregation_grouped(aggre_vars["params"]["weight"])
+        apply_jns = aggregation_int8_apply_jns_grouped
+    else:
+        qagg = quantize_aggregation(aggre_vars["params"]["weight"])
+        apply_jns = aggregation_int8_apply_jns
     tables = None
     if tail == "phase":
         from posetpu.models.quant import permute_aggregation_packed
         from posetpu.ops.heatmap import phase_index_tables
 
-        tables = phase_index_tables((64, 64))
+        # the two-level fused tail (phase_kernel=2) emits the levels=2
+        # packing; every packed consumer is table-driven
+        tables = phase_index_tables(
+            (64, 64), levels=2 if phase_kernel in (2, "interpret2") else 1)
         qagg = permute_aggregation_packed(qagg, tables)
 
     # serving input is raw uint8 camera frames: the (x/255-mean)/std
@@ -120,9 +136,10 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
 
             if flip_test:
                 hm, hm_f = jnp.split(hm, 2, axis=1)
-                hm = flip_test_merge_packed(hm, hm_f, flip_pairs, (64, 64))
+                hm = flip_test_merge_packed(hm, hm_f, flip_pairs, (64, 64),
+                                            levels=tables["levels"])
             raw = hm.reshape(hm.shape[0], batch, 4, hm.shape[-1])
-            fused = aggregation_int8_apply_jns(params["qagg"], raw)
+            fused = apply_jns(params["qagg"], raw)
             out = fuse_routing_jns(raw, fused, is_h36m)
             preds, maxvals = final_preds_packed(
                 out, center, scale, (64, 64), tables
@@ -132,7 +149,7 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
                 hm, hm_f = jnp.split(hm, 2, axis=1)
                 hm = flip_test_merge_jns(hm, hm_f, flip_pairs, (64, 64))
             raw = hm.reshape(hm.shape[0], batch, 4, hm.shape[-1])
-            fused = aggregation_int8_apply_jns(params["qagg"], raw)
+            fused = apply_jns(params["qagg"], raw)
             out = fuse_routing_jns(raw, fused, is_h36m)
             preds, maxvals = final_preds_jns(out, center, scale, (64, 64))
         else:  # hm: [N*4(*2), h, w, J]
@@ -241,14 +258,19 @@ def main():
         results["bf16_fused"] = max(
             results.get("bf16_fused", 0.0), _measure(pipeline, variables, x, batch, rtt)
         )
-        # adopted serving config (PERF.md win #5): phase-PACKED tail +
-        # per-name subpixel deconv0
-        qpipe, qparams, qx = _build_int8(batch, subpixel_deconvs={"deconv0"})
+        # adopted serving config (PERF.md wins #5/#6): phase-PACKED tail +
+        # per-name subpixel deconv0 + fused Pallas phase/deconv kernels +
+        # grouped (fused-mean) int8 aggregation
+        qpipe, qparams, qx = _build_int8(batch, subpixel_deconvs={"deconv0"},
+                                         phase_kernel=True,
+                                         grouped_aggre=True)
         results["int8"] = max(
             results.get("int8", 0.0), _measure(qpipe, qparams, qx, batch, rtt)
         )
         fpipe, fparams, fx = _build_int8(batch, flip_test=True,
-                                         subpixel_deconvs={"deconv0"})
+                                         subpixel_deconvs={"deconv0"},
+                                         phase_kernel=True,
+                                         grouped_aggre=True)
         results["int8_flip"] = max(
             results.get("int8_flip", 0.0),
             _measure(fpipe, fparams, fx, batch, rtt),

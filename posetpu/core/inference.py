@@ -61,15 +61,16 @@ def flip_test_merge_jns(output, output_flipped, flip_pairs, hw,
 
 
 def flip_test_merge_packed(output, output_flipped, flip_pairs, hw,
-                           shift: bool = False):
+                           shift: bool = False, levels: int = 1):
     """Phase-PACKED twin of :func:`flip_test_merge_jns` (maps stay in the
     phase_index_tables order; the W-flip and right-shift become static
-    phase-group permutations — see ops/heatmap.flip_back_packed)."""
+    phase-group permutations — see ops/heatmap.flip_back_packed).
+    ``levels`` selects the packing depth (phase_index_tables)."""
     from posetpu.ops.heatmap import flip_back_packed, shift_heatmap_right_packed
 
-    of = flip_back_packed(output_flipped, flip_pairs, hw)
+    of = flip_back_packed(output_flipped, flip_pairs, hw, levels=levels)
     if shift:
-        of = shift_heatmap_right_packed(of, hw)
+        of = shift_heatmap_right_packed(of, hw, levels=levels)
     return 0.5 * (output + of)
 
 

@@ -299,7 +299,9 @@ class _Int8Runner:
         return _conv(h_q, wq, prefer=jnp.int32, **kw)
 
     def _quant(self, x, scale):
-        return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        # multiply by the (once-computed) reciprocal, not divide: the f32
+        # divide ran per element inside EVERY conv's requant epilogue
+        return jnp.clip(jnp.round(x * (1.0 / scale)), -127, 127).astype(jnp.int8)
 
     def input(self, x):
         s = self.q["act_scales"]["input"]
@@ -436,7 +438,7 @@ class _Int8Runner:
 
 def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
              subpixel_deconvs: bool = False, jns_head: bool = False,
-             stem_s2d: bool = False):
+             stem_s2d: bool = False, phase_kernel: bool = False):
     """Shared calibration/int8 forward over the layer plan.
     Returns heatmaps [N, h, w, J] (f32), or [J, N, h*w] with ``jns_head``
     (int8 runner only — see _Int8Runner.final_jns)."""
@@ -472,7 +474,33 @@ def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
         elif kind == "deconv":
             k = info["kernel"]
             is_last = info["name"] == f"deconv{len(deconv_filters) - 1}"
+            if (jns_head == "phase" and k == 4
+                    and info["name"] == f"deconv{len(deconv_filters) - 2}"
+                    and "phase_tail2" in getattr(runner, "q", {})):
+                # TWO-level fused tail: deconv1 + deconv2 + head in one
+                # Pallas kernel; heatmaps emerge in the levels=2 packing
+                # (ops/heatmap.phase_index_tables). Bit-exact vs the XLA
+                # phase tail up to that static permutation
+                # (tests/test_phase_kernel.py).
+                from posetpu.ops.pallas.phase_tail import fused_phase_tail2
+
+                n, hh, ww, c = h_q.shape
+                return fused_phase_tail2(
+                    h_q.reshape(n, hh * ww, c), runner.q["phase_tail2"],
+                    h=hh, w=ww,
+                    interpret=(phase_kernel == "interpret2"))
             if jns_head == "phase" and is_last and k == 4:
+                if phase_kernel:
+                    # fused Pallas tail: phase convs + requant + head in one
+                    # VMEM pass (ops/pallas/phase_tail.py) — bit-exact vs
+                    # the XLA path below
+                    from posetpu.ops.pallas.phase_tail import fused_phase_tail
+
+                    n, hh, ww, c = h_q.shape
+                    return fused_phase_tail(
+                        h_q.reshape(n, hh * ww, c), runner.q["phase_tail"],
+                        h=hh, w=ww,
+                        interpret=(phase_kernel == "interpret"))
                 # phase-domain tail: the last k4/s2 deconv runs as a stride-1
                 # subpixel conv whose phase groups flow straight into the
                 # head — the dilated conv's 4x zero-tap waste AND the
@@ -480,12 +508,32 @@ def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
                 # killer of the plain-subpixel variants, PERF.md)
                 h_q, s_h = runner.subpixel_phases(h_q, s_h, info["name"])
             elif k == 4 and _subpixel_wants(subpixel_deconvs, info["name"]):
-                # subpixel decomposition: 4x fewer MACs. ALL-deconv subpixel
-                # measured a wash (the 64x64 interleave's data movement eats
-                # the MAC win) but per-name selection pays where the
-                # contraction is deep and the interleave tensor small
-                # (deconv0: I=2048, 16x16 output)
-                h_q, s_h = runner.qchain(h_q, s_h, info["name"], subpixel=True)
+                if phase_kernel and f"subpix_{info['name']}" in getattr(
+                        runner, "q", {}):
+                    # fused Pallas subpixel deconv: 4 phase convs + requant
+                    # in one VMEM pass, bit-exact vs the qchain subpixel
+                    # path below (XLA emitted the [2,2,I,4O] conv 5x over
+                    # its roofline — device trace, PERF.md)
+                    from posetpu.ops.pallas.phase_tail import (
+                        fused_subpixel_deconv,
+                        subpixel_interleave_packed,
+                    )
+
+                    n, hh, ww, c = h_q.shape
+                    z = fused_subpixel_deconv(
+                        h_q.reshape(n, hh * ww, c),
+                        runner.q[f"subpix_{info['name']}"], h=hh, w=ww,
+                        interpret=str(phase_kernel).startswith("interpret"))
+                    h_q = subpixel_interleave_packed(z)
+                    s_h = runner.q["act_scales"][f"{info['name']}.out"]
+                else:
+                    # subpixel decomposition: 4x fewer MACs. ALL-deconv
+                    # subpixel measured a wash (the 64x64 interleave's data
+                    # movement eats the MAC win) but per-name selection pays
+                    # where the contraction is deep and the interleave
+                    # tensor small (deconv0: I=2048, 16x16 output)
+                    h_q, s_h = runner.qchain(h_q, s_h, info["name"],
+                                             subpixel=True)
             else:
                 pad = k - 1 - (1 if k in (3, 4) else 0)
                 opad = 1 if k == 3 else 0
@@ -555,7 +603,8 @@ def quantize_weights(folded: dict, act_scales: dict,
 def quantize_pose_resnet(model, variables, calib_batches,
                          subpixel_deconvs: bool = False,
                          jns_head: bool = False,
-                         stem_s2d: bool = False) -> tuple[dict, Any]:
+                         stem_s2d: bool = False,
+                         phase_kernel: bool = False) -> tuple[dict, Any]:
     """One-call PTQ: returns (qparams, jitted int8 forward).
 
     ``calib_batches``: iterable of [N, H, W, 3] float inputs (normalised like
@@ -569,6 +618,39 @@ def quantize_pose_resnet(model, variables, calib_batches,
 
     num_layers = model.num_layers
     dfs, dks = model.deconv_filters, model.deconv_kernels
+    two_level = phase_kernel in (2, "interpret2")
+    if jns_head == "phase" and two_level:
+        from posetpu.ops.pallas.phase_tail import build_phase_tail2_args
+
+        assert len(dfs) >= 3 and dks[-1] == 4 and dks[-2] == 4
+        qparams["phase_tail2"] = build_phase_tail2_args(
+            qparams, f"deconv{len(dfs) - 2}", f"deconv{len(dfs) - 1}",
+            float(act_scales[f"deconv{len(dfs) - 3}.out"]))
+    elif jns_head == "phase" and phase_kernel:
+        from posetpu.ops.pallas.phase_tail import build_phase_tail_args
+
+        assert len(dfs) >= 2 and dks[-1] == 4
+        last = f"deconv{len(dfs) - 1}"
+        s_in = float(act_scales[f"deconv{len(dfs) - 2}.out"])
+        qparams["phase_tail"] = build_phase_tail_args(qparams, last, s_in)
+    if phase_kernel:
+        # fused Pallas kernels for the INNER subpixel deconvs too: walk the
+        # plan to recover each deconv's static input scale
+        from posetpu.ops.pallas.phase_tail import build_subpixel_deconv_args
+
+        prev_key = "input"
+        for kind, info in _plan(num_layers, dfs, dks):
+            if kind == "stem":
+                prev_key = "stem.out"
+            elif kind == "block":
+                prev_key = f"{info['name']}.out"
+            elif kind == "deconv":
+                name = info["name"]
+                if (name != f"deconv{len(dfs) - 1}" and info["kernel"] == 4
+                        and _subpixel_wants(subpixel_deconvs, name)):
+                    qparams[f"subpix_{name}"] = build_subpixel_deconv_args(
+                        qparams, name, float(act_scales[prev_key]))
+                prev_key = f"{name}.out"
     policy = conv_dtype_policy(qparams)
 
     @jax.jit
@@ -576,7 +658,7 @@ def quantize_pose_resnet(model, variables, calib_batches,
         runner = _Int8Runner(qparams, policy)
         return _forward(runner, x, num_layers, dfs, dks,
                         subpixel_deconvs=subpixel_deconvs, jns_head=jns_head,
-                        stem_s2d=stem_s2d)
+                        stem_s2d=stem_s2d, phase_kernel=phase_kernel)
 
     return qparams, forward
 
@@ -805,8 +887,8 @@ def permute_aggregation_packed(qagg, tables):
     fused output equals the row-major fused output re-indexed — the int8
     products are identical, only summation order changes (int32-exact)."""
     r = np.asarray(tables["rowmajor"])
-    wq = np.asarray(qagg["wq"])[:, r][:, :, r]
-    ws = np.asarray(qagg["w_scale"])[:, :, r]
+    wq = np.asarray(qagg["wq"])[..., r, :][..., :, r]  # [12|4x3, S, S]
+    ws = np.asarray(qagg["w_scale"])[..., r]
     return {
         "wq": jnp.asarray(wq),
         "w_scale": jnp.asarray(ws),
@@ -839,4 +921,62 @@ def aggregation_int8_apply_jns(qagg, hm):
         hm.dtype  # keep the tail's dtype (bf16 tail stays bf16 throughout)
     )
     fused = y.reshape(v, 3, j, n, s).mean(axis=1)  # [V, J, N, S]
+    return jnp.moveaxis(fused, 0, 2)  # [J, N, V, S] (major-only permute)
+
+
+def quantize_aggregation_grouped(bank, calib_heatmaps=None):
+    """Like :func:`quantize_aggregation`, but with ONE weight scale per
+    (target-view, output-column) shared by that target's 3 source pairs, so
+    the 3-pair mean folds INTO the matmul contraction
+    (:func:`aggregation_int8_apply_jns_grouped`): the whole fusion becomes a
+    single dot_general with batch dim = target and contracting dims
+    (pair, S). The separate [12, J*N, S] f32 intermediate (100 MB at batch
+    32) and its mean-reduce disappear from the pipeline (device trace:
+    fusion.544 0.63 ms + reduce_sum 0.20 ms/iter).
+
+    Precision: the 2-of-3 pairs whose |w|max is below the target's shared
+    max lose log2(ratio) bits of weight mantissa. The reference's
+    ChannelWiseFC is identity-initialised (multiview_pose_resnet.py:16-30),
+    so trained pair magnitudes are near-equal and the measured loss is nil
+    (test_quant.py::test_int8_aggregation_grouped_matches_float uses the
+    same tolerance as the per-pair path).
+    """
+    w = np.asarray(bank, np.float32).reshape(4, 3, bank.shape[1], bank.shape[2])
+    s_w = np.maximum(np.abs(w).max(axis=(1, 2), keepdims=True), 1e-8) / 127.0
+    wq = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)  # [4,3,S,S]
+    amax = 1.2
+    if calib_heatmaps is not None:
+        amax = max(float(np.abs(np.asarray(calib_heatmaps)).max()), 1e-6)
+    return {
+        "wq": jnp.asarray(wq),
+        "w_scale": jnp.asarray(s_w[:, 0].astype(np.float32)),  # [4,1,S]
+        "x_scale": jnp.float32(amax / 127.0),
+    }
+
+
+def aggregation_int8_apply_jns_grouped(qagg, hm):
+    """S-minor aggregation fusion with the 3-source mean folded into ONE
+    dot_general: hm [J, N, V, S] -> fused [J, N, V, S].
+
+    ``qagg`` from :func:`quantize_aggregation_grouped` (wq [4, 3, S, S]).
+    out[t] = (1/3) * sum_p  g[t, p] @ wq[t, p]  — a single contraction over
+    (p, S) per target view, int32-exact inside the MXU."""
+    j, n, v, s = hm.shape
+    xq8 = jnp.clip(
+        jnp.round(hm * (1.0 / qagg["x_scale"])), -127, 127
+    ).astype(jnp.int8)
+    src = jnp.asarray(
+        [sv for tgt in range(4) for sv in range(4) if sv != tgt]
+    )
+    g = xq8[:, :, src]  # [J, N, 12, S] int8
+    # [4, J*N, 3, S]: target-major, (pair, S) adjacent for the contraction
+    g = jnp.moveaxis(g.reshape(j, n, 4, 3, s), 2, 0).reshape(4, j * n, 3, s)
+    y = jax.lax.dot_general(
+        g, qagg["wq"],
+        dimension_numbers=(((2, 3), (1, 2)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [4, J*N, S] — the pair sum happened inside the MXU accumulator
+    y = (y.astype(jnp.float32)
+         * ((qagg["x_scale"] / 3.0) * qagg["w_scale"])).astype(hm.dtype)
+    fused = y.reshape(v, j, n, s)  # [V, J, N, S]
     return jnp.moveaxis(fused, 0, 2)  # [J, N, V, S] (major-only permute)

@@ -194,28 +194,48 @@ def decode_heatmaps_jns(heatmaps, hw, post_process: bool = True):
     return coords + offs * ok.astype(jnp.float32)[..., None], maxvals
 
 
-def phase_index_tables(hw):
+def phase_index_tables(hw, levels: int = 1):
     """Static index tables tying the phase-packed heatmap layout to the
     row-major one (see quant._Int8Runner.{subpixel_phases, final_phase} —
     the phase tail's head emits this order directly; no runtime gather or
     interleave exists anywhere in the tail).
 
-    Packed index p = (2a+b)*bh*bw + i*bw + j corresponds to the row-major
-    pixel (y, x) = (2i+a, 2j+b). Returns dict of [h*w] int32 numpy arrays:
-    ``rowmajor`` (rowmajor index of packed position p) and ``packed``
-    (packed position of rowmajor index r).
+    ``levels=1``: packed index p = (2a+b)*bh*bw + i*bw + j is the
+    row-major pixel (y, x) = (2i+a, 2j+b) — the LAST deconv's phase
+    groups.
+
+    ``levels=2``: the two-level packing of the deconv1+deconv2 fused tail
+    (ops/pallas/phase_tail.fused_phase_tail2): packed index
+    p = (((2*a2+b2)*4 + 2*al+be) * bh*bw) + i*bw + j  (bh = h//4) is pixel
+    (y, x) = (4i + 2*al + a2, 4j + 2*be + b2) — (a2, b2) indexes deconv2's
+    phase, (al, be) the parity of deconv1's phase plane.
+
+    Returns dict of [h*w] int32 numpy arrays: ``rowmajor`` (rowmajor index
+    of packed position p) and ``packed`` (packed position of rowmajor
+    index r).
     """
     import numpy as np
 
     h, w = int(hw[0]), int(hw[1])
-    bh, bw = h // 2, w // 2
-    g, i, j = np.meshgrid(np.arange(4), np.arange(bh), np.arange(bw),
-                          indexing="ij")
-    a, b = g // 2, g % 2
-    rowmajor = ((2 * i + a) * w + (2 * j + b)).reshape(-1).astype(np.int32)
+    if levels == 1:
+        bh, bw = h // 2, w // 2
+        g, i, j = np.meshgrid(np.arange(4), np.arange(bh), np.arange(bw),
+                              indexing="ij")
+        a, b = g // 2, g % 2
+        rowmajor = ((2 * i + a) * w + (2 * j + b)).reshape(-1)
+    else:
+        assert levels == 2 and h % 4 == 0 and w % 4 == 0
+        bh, bw = h // 4, w // 4
+        g, p, i, j = np.meshgrid(np.arange(4), np.arange(4), np.arange(bh),
+                                 np.arange(bw), indexing="ij")
+        a2, b2 = g // 2, g % 2
+        al, be = p // 2, p % 2
+        rowmajor = ((4 * i + 2 * al + a2) * w
+                    + (4 * j + 2 * be + b2)).reshape(-1)
+    rowmajor = rowmajor.astype(np.int32)
     packed = np.empty(h * w, np.int32)
     packed[rowmajor] = np.arange(h * w, dtype=np.int32)
-    return {"rowmajor": rowmajor, "packed": packed}
+    return {"rowmajor": rowmajor, "packed": packed, "levels": levels}
 
 
 def decode_heatmaps_packed(heatmaps, tables, hw, post_process: bool = True):
@@ -256,34 +276,55 @@ def decode_heatmaps_packed(heatmaps, tables, hw, post_process: bool = True):
     return coords + offs * ok.astype(jnp.float32)[..., None], maxvals
 
 
-def flip_back_packed(heatmaps, flip_pairs, hw):
+def flip_back_packed(heatmaps, flip_pairs, hw, levels: int = 1):
     """Phase-PACKED twin of :func:`flip_back_jns`: [J, ..., S] packed maps
-    (phase_index_tables order). The W-reversal decomposes into two static,
+    (phase_index_tables order). The W-reversal decomposes into static,
     layout-preserving moves — phase column swap b -> 1-b and a within-phase
-    bw-reversal — because x = 2j+b maps to w-1-x = 2(bw-1-j) + (1-b)."""
+    bw-reversal — because x = 2j+b maps to w-1-x = 2(bw-1-j) + (1-b).
+    ``levels=2`` (the two-level packing): x = 4j + 2be + b2 maps to
+    w-1-x = 4(bw-1-j) + 2(1-be) + (1-b2), so b2, be AND j all reverse."""
     h, w = int(hw[0]), int(hw[1])
-    bh, bw = h // 2, w // 2
     j = heatmaps.shape[0]
     order = list(range(j))
     for a, b in flip_pairs:
         order[a], order[b] = order[b], order[a]
-    x = heatmaps.reshape(heatmaps.shape[:-1] + (2, 2, bh, bw))
-    x = x[..., :, ::-1, :, ::-1]
+    if levels == 1:
+        bh, bw = h // 2, w // 2
+        x = heatmaps.reshape(heatmaps.shape[:-1] + (2, 2, bh, bw))
+        x = x[..., :, ::-1, :, ::-1]
+    else:
+        bh, bw = h // 4, w // 4
+        x = heatmaps.reshape(heatmaps.shape[:-1] + (2, 2, 2, 2, bh, bw))
+        x = x[..., :, ::-1, :, ::-1, :, ::-1]  # reverse b2, be, j
     x = x.reshape(heatmaps.shape)
     return jnp.take(x, jnp.array(order), axis=0)
 
 
-def shift_heatmap_right_packed(heatmaps, hw):
+def shift_heatmap_right_packed(heatmaps, hw, levels: int = 1):
     """Phase-PACKED twin of :func:`shift_heatmap_right_jns`. Shifting one
     pixel right sends phase b=0 -> b=1 at the same within-phase column and
     b=1 -> b=0 at column j+1 (first column duplicated, like the row-major
-    form)."""
+    form). ``levels=2``: new(b2=1)=old(b2=0) in place, new(b2=0, be=1) =
+    old(b2=1, be=0), new(b2=0, be=0) = old(b2=1, be=1) at column j-1."""
     h, w = int(hw[0]), int(hw[1])
-    bh, bw = h // 2, w // 2
-    x = heatmaps.reshape(heatmaps.shape[:-1] + (2, 2, bh, bw))
-    b0, b1 = x[..., 0, :, :], x[..., 1, :, :]  # [..., 2(a), bh, bw]
-    new_b0 = jnp.concatenate([b0[..., :1], b1[..., :-1]], axis=-1)
-    x = jnp.stack([new_b0, b0], axis=-3)
+    if levels == 1:
+        bh, bw = h // 2, w // 2
+        x = heatmaps.reshape(heatmaps.shape[:-1] + (2, 2, bh, bw))
+        b0, b1 = x[..., 0, :, :], x[..., 1, :, :]  # [..., 2(a), bh, bw]
+        new_b0 = jnp.concatenate([b0[..., :1], b1[..., :-1]], axis=-1)
+        x = jnp.stack([new_b0, b0], axis=-3)
+        return x.reshape(heatmaps.shape)
+    bh, bw = h // 4, w // 4
+    # dims (..., a2, b2, al, be, i, j)
+    x = heatmaps.reshape(heatmaps.shape[:-1] + (2, 2, 2, 2, bh, bw))
+    b20, b21 = x[..., 0, :, :, :, :], x[..., 1, :, :, :, :]
+    # new(b2=0, be=0, j) = old(b2=1, be=1, j-1); j=0 duplicates pixel x=0
+    nb00 = jnp.concatenate(
+        [b20[..., 0:1, :, :1], b21[..., 1:2, :, :-1]], axis=-1)
+    # new(b2=0, be=1, j) = old(b2=1, be=0, j)
+    nb01 = b21[..., 0:1, :, :]
+    new_b20 = jnp.concatenate([nb00, nb01], axis=-3)
+    x = jnp.stack([new_b20, b20], axis=-5)
     return x.reshape(heatmaps.shape)
 
 

@@ -109,6 +109,40 @@ def test_int8_aggregation_matches_float(rng):
     assert np.abs(ref - got).max() < 0.05 * max(np.abs(ref).max(), 1e-6)
 
 
+def test_int8_aggregation_grouped_matches_float(rng):
+    """The fused-mean (single-contraction) aggregation matches the float
+    Aggregation within the same tolerance as the per-pair int8 path, and
+    matches the per-pair int8 path itself almost exactly on an
+    identity-like bank (the reference's ChannelWiseFC init regime)."""
+    from posetpu.models.multiview import Aggregation
+    from posetpu.models.quant import (
+        aggregation_int8_apply_jns,
+        aggregation_int8_apply_jns_grouped,
+        quantize_aggregation,
+        quantize_aggregation_grouped,
+    )
+
+    s = 8
+    bank = rng.uniform(0, 0.1, (12, s * s, s * s)).astype(np.float32)
+    bank += np.eye(s * s, dtype=np.float32)[None]  # identity-init regime
+    hm = rng.uniform(0, 1, (2, 4, s, s, 3)).astype(np.float32)
+    model = Aggregation(heatmap_size=s)
+    ref = np.asarray(model.apply({"params": {"weight": jnp.asarray(bank)}},
+                                 jnp.asarray(hm)))
+    # [N, V, h, w, J] -> [J, N, V, S] for the jns appliers
+    hm_jns = jnp.moveaxis(jnp.asarray(hm.reshape(2, 4, s * s, 3)), 3, 0)
+    qg = quantize_aggregation_grouped(bank, calib_heatmaps=hm)
+    got = np.asarray(aggregation_int8_apply_jns_grouped(qg, hm_jns))
+    ref_jns = np.moveaxis(ref.reshape(2, 4, s * s, 3), 3, 0)
+    assert np.corrcoef(ref_jns.ravel(), got.ravel())[0, 1] > 0.999
+    assert np.abs(ref_jns - got).max() < 0.05 * max(np.abs(ref).max(), 1e-6)
+
+    qp = quantize_aggregation(bank, calib_heatmaps=hm)
+    per_pair = np.asarray(aggregation_int8_apply_jns(qp, hm_jns))
+    # independent weight-quantization rounding separates the two int8 paths
+    np.testing.assert_allclose(got, per_pair, atol=0.03)
+
+
 def test_u8_input_front_end_matches_f32(rng):
     """make_u8_quant(u8) == quantize(normalize(u8)) for every pixel value."""
     from posetpu.models.quant import _Int8Runner, make_u8_quant

@@ -24,7 +24,10 @@ def main():
 
     import bench
 
-    qpipe, qparams, qx = bench._build_int8(batch)
+    # the adopted serving config (keep in sync with bench.main's int8 build)
+    qpipe, qparams, qx = bench._build_int8(batch, subpixel_deconvs={"deconv0"},
+                                           phase_kernel=True,
+                                           grouped_aggre=True)
     _ = float(qpipe(qparams, qx))  # compile + warm
 
     os.system(f"rm -rf {logdir}")
