@@ -259,17 +259,18 @@ def main():
             results.get("bf16_fused", 0.0), _measure(pipeline, variables, x, batch, rtt)
         )
         # adopted serving config (PERF.md wins #5/#6): phase-PACKED tail +
-        # per-name subpixel deconv0 + fused Pallas phase/deconv kernels +
-        # grouped (fused-mean) int8 aggregation
+        # per-name subpixel deconv0 + fused Pallas phase/deconv kernels
+        # (two-level fold: deconv1+deconv2+head in one kernel) + grouped
+        # (fused-mean) int8 aggregation
         qpipe, qparams, qx = _build_int8(batch, subpixel_deconvs={"deconv0"},
-                                         phase_kernel=True,
+                                         phase_kernel=2,
                                          grouped_aggre=True)
         results["int8"] = max(
             results.get("int8", 0.0), _measure(qpipe, qparams, qx, batch, rtt)
         )
         fpipe, fparams, fx = _build_int8(batch, flip_test=True,
                                          subpixel_deconvs={"deconv0"},
-                                         phase_kernel=True,
+                                         phase_kernel=2,
                                          grouped_aggre=True)
         results["int8_flip"] = max(
             results.get("int8_flip", 0.0),

@@ -246,27 +246,30 @@ def _phase_tail2_kernel(
             for pa in range(2) for pb in range(2)
         }
 
-        # deconv2 phases, split by the parity of the virtual position
+        # deconv2 phases, split by the parity of the virtual position; the
+        # four parity variants CONCATENATE into one M=4*hw dot per tap
+        # (separate M=hw dots per parity measured the kernel MXU-underfed)
         for g2, (a2, b2) in enumerate(phases):
-            for par, (al, be) in enumerate(phases):
-                acc = jnp.zeros((hw, cout), jnp.int32)
-                for t, (u, v) in enumerate(phases):
+            acc = jnp.zeros((4 * hw, cout), jnp.int32)
+            for t, (u, v) in enumerate(phases):
+                parts = []
+                for par, (al, be) in enumerate(phases):
                     ra = al + u - (1 - a2)
                     rc = be + v - (1 - b2)
                     pa, pb = ra & 1, rc & 1
-                    xv = row_shift2(pv[(pa, pb)][(rc - pb) // 2],
-                                    (ra - pa) // 2)
-                    acc += jax.lax.dot_general(
-                        xv, w2_ref[g2, t],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )
-                zf = acc.astype(jnp.float32) * sv2[None, :] + bv2[None, :]
-                zf = jnp.maximum(zf, 0.0)
-                p16 = g2 * 4 + par
-                z2_s[p16 * hw:(p16 + 1) * hw, :] = jnp.clip(
-                    jnp.round(zf * inv_so2), -127, 127
-                ).astype(jnp.int8)
+                    parts.append(
+                        row_shift2(pv[(pa, pb)][(rc - pb) // 2],
+                                   (ra - pa) // 2))
+                acc += jax.lax.dot_general(
+                    jnp.concatenate(parts, axis=0), w2_ref[g2, t],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            zf = acc.astype(jnp.float32) * sv2[None, :] + bv2[None, :]
+            zf = jnp.maximum(zf, 0.0)
+            z2_s[g2 * 4 * hw:(g2 + 1) * 4 * hw, :] = jnp.clip(
+                jnp.round(zf * inv_so2), -127, 127
+            ).astype(jnp.int8)
 
         acc = jax.lax.dot_general(
             wh_ref[:], z2_s[:],
