@@ -31,6 +31,11 @@ def parse_args():
         "--fresh", action="store_true",
         help="ignore any saved pipeline state and restart from iteration 0",
     )
+    p.add_argument(
+        "--adaptive-thre", action="store_true",
+        help="sweep confidence thresholds each iteration and auto-pick from "
+             "the Pareto front (instead of the fixed -i/--confidence-thre)",
+    )
     return p.parse_args()
 
 
@@ -58,6 +63,11 @@ def default_stage_fns(args, log=print):
             no_distortion=args.no_distortion,
         )
         loader = GroupLoader(train_ds, cfg.TRAIN.BATCH_SIZE, shuffle=True)
+        if cfg.DATASET.IF_SAMPLE and hasattr(train_ds, "group_weights"):
+            # source-balanced sampling (same wiring as cli/train.py) — at
+            # iteration 0 every h36m batch is zero-weight supervision, so
+            # an unbalanced mixed epoch wastes most of its steps
+            loader.set_weights(train_ds.group_weights(cfg))
         model = build_model(cfg, bf16=False)
         tx = make_optimizer(cfg, steps_per_epoch=max(len(loader), 1))
         step = make_train_step(model, cfg, tx)
@@ -112,14 +122,23 @@ def default_stage_fns(args, log=print):
         gt2d = ds.gt_joints_flat()[0][:, u]
         flat = [i for g in ds.grouping for i in g]
         scales = np.array([ds.db[i]["scale"] for i in flat])
-        mint_pseudo_labels(
+        adaptive = getattr(args, "adaptive_thre", False)
+        summary = mint_pseudo_labels(
             locations[:, :, :2], locations[:, :, 2], ds.cameras_flat(), out_dir,
             gt2d=gt2d, headsizes=np.amax(scales, 1, keepdims=True) * 20,
-            loop=True, confidence_thre=args.confidence_thre,
+            loop=not adaptive, confidence_thre=args.confidence_thre,
+            thresholds=(0.1, 0.3, 0.5, 0.7, 0.9),
             if_ransac=args.ransac, num_inliers=args.inliers,
             reproj_thre=args.reproj_thre, use_reproj=True,
             no_distortion=args.no_distortion, log=log,
         )
+        if adaptive:
+            # sweep ran (reference's select.txt regime); auto-pick from the
+            # Pareto front — a detector whose peak confidence drifts between
+            # iterations no longer strands the pipeline on a fixed threshold
+            name = summary["choose"]()
+            log(f"=> adaptive threshold picked {name}")
+            return os.path.join(out_dir, f"{name}_pseudo_label.h5")
         return os.path.join(
             out_dir, f"{args.confidence_thre}_1_pseudo_label.h5"
         )

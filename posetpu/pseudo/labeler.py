@@ -114,6 +114,7 @@ def mint_pseudo_labels(
     for conf_thre in thre_list:
         joints_vis = (confidence > conf_thre).astype(np.float32)
         entry = _report(f"thre {conf_thre}", pred2d, joints_vis)
+        entry["name"] = f"{conf_thre}_0"
         acc.append(entry.get("pckh", 0.0))
         num.append(entry["vis"])
         name = f"{conf_thre}_0"
@@ -137,6 +138,7 @@ def mint_pseudo_labels(
             proj2d = np.asarray(proj_g).reshape(n, j, 2)
             joints_vis = np.asarray(res_vis_g).reshape(n, j)
             entry = _report("after reprojection", proj2d, joints_vis)
+            entry["name"] = f"{conf_thre}_1"
             acc.append(entry.get("pckh", 0.0))
             num.append(entry["vis"])
             name = f"{conf_thre}_1"
@@ -144,6 +146,22 @@ def mint_pseudo_labels(
             path = os.path.join(out_dir, f"{name}_pseudo_label.h5")
             save_pseudo_labels(path, proj2d, joints_vis)
             log(f"=> saved {path}")
+
+    def choose(min_vis: float = 0.10):
+        """Automatic pick from the Pareto front: the reference publishes
+        select.txt for a human to choose from (test_pseudo_label.py:261-286);
+        the pipeline's --adaptive-thre mode picks the highest-PCKh selected
+        entry whose visible fraction clears ``min_vis`` (labels too sparse
+        to retrain on are useless however accurate), falling back to the
+        most-visible entry."""
+        sel = summary.get("selected") or names
+        cand = [e for e in summary["entries"] if e.get("name") in sel]
+        ok = [e for e in cand if e["vis"] >= min_vis]
+        pool = ok or cand
+        key = (lambda e: e.get("pckh", 0.0)) if ok else (lambda e: e["vis"])
+        return max(pool, key=key)["name"]
+
+    summary["choose"] = choose
 
     if not loop:
         selected = pareto_select(acc, num)

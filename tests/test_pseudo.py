@@ -98,6 +98,42 @@ def test_mint_pseudo_labels_end_to_end(tmp_path, rng):
     assert err[mask].mean() < 15.0, err[mask].mean()
 
 
+def test_mint_choose_policy(tmp_path, rng):
+    """summary['choose']() picks the highest-PCKh Pareto entry whose
+    visible fraction clears the floor, and its H5 exists — the
+    --adaptive-thre pipeline regime. A detector whose confidences all sit
+    below a high fixed threshold still yields usable labels at the lower
+    sweep points."""
+    G, J = 4, 16
+    cams = tile_cameras(make_camera_ring(), G)
+    gt3d = make_poses3d(G)
+    pix = np.array(
+        jax.vmap(lambda c, x: jax.vmap(lambda cv: project_points(x, cv))(c))(
+            cams, jnp.asarray(gt3d)
+        )
+    ).reshape(G * 4, J, 2)
+    pred = pix + rng.randn(*pix.shape).astype(np.float32) * 2.0
+    # every confidence below 0.7: a fixed 0.7 threshold would mint nothing
+    confidence = rng.uniform(0.35, 0.65, (G * 4, J)).astype(np.float32)
+
+    out = str(tmp_path / "pl")
+    summary = mint_pseudo_labels(
+        pred, confidence, _flat_cams(cams, G), out,
+        gt2d=pix, headsizes=np.full((G * 4, 1), 50.0),
+        thresholds=(0.1, 0.3, 0.5, 0.7, 0.9),
+        if_ransac=True, num_inliers=3, reproj_thre=10.0, use_reproj=True,
+        log=lambda *_: None,
+    )
+    name = summary["choose"]()
+    entry = next(e for e in summary["entries"] if e.get("name") == name)
+    assert entry["vis"] >= 0.10
+    assert os.path.exists(os.path.join(out, f"{name}_pseudo_label.h5"))
+    # every saved Pareto candidate with vis over the floor has pckh <= chosen
+    floor = [e for e in summary["entries"]
+             if e.get("name") in summary["selected"] and e["vis"] >= 0.10]
+    assert all(e["pckh"] <= entry["pckh"] + 1e-9 for e in floor)
+
+
 def test_mint_loop_mode_single_threshold(tmp_path, rng):
     G, J = 2, 16
     cams = tile_cameras(make_camera_ring(), G)

@@ -31,19 +31,43 @@ def build_fixture(root: str) -> None:
         CameraParams, project_points, world_to_camera_frame,
     )
 
+    from posetpu.data.base import make_u2a_mapping
+    from posetpu.data.h36m import H36M_JOINTS, SPECIAL_U2A
+
     cams = make_camera_ring(image_size=(IMG_W, IMG_H))
+    # f ~= 420: the person spans ~140 px of the 256 frame (A/B'd on the
+    # pipeline drive: x1.5 transfers best; x1.9 matched the MPII person
+    # scale exactly but pushed edge joints into the frame margin and
+    # measured WORSE iteration-0 pseudo PCKh, 0.22 vs 0.34). At the
+    # original f ~= 99 the whole skeleton was a ~32 px cluster and
+    # cross-domain transfer was impossible
     cams = CameraParams(
         R=cams.R, T=cams.T,
-        f=cams.f * (IMG_W / 1000.0) * 0.35,
+        f=cams.f * (IMG_W / 1000.0) * 1.5,
         c=jnp.full_like(cams.c, IMG_W / 2.0),
         k=cams.k * 0.0, p=cams.p * 0.0,
     )
-    # 17-joint H36M schema: joint 0 is an extra root-ish point
+    # 17-joint H36M schema in the loader's CANONICAL joint order: place the
+    # union-ordered skeleton joints at the h36m indices the u2a mapping
+    # expects, and color each blob by its UNION identity so a detector
+    # trained on the MPII-format fixture transfers (the pipeline drive's
+    # cross-domain regime; a same-order-shifted layout mislabels joints and
+    # breaks transfer — measured PCKh 0.36 instead of ~0.9)
     poses16 = make_skeleton_poses(N_GROUPS, seed=3)
-    pts3d = np.concatenate([poses16[:, 6:7], poses16], axis=1)
-
-    colors = [(int(80 + 10 * j), int(255 - 9 * j), int(40 + 12 * j))
-              for j in range(17)]
+    # center the body on the ring's look-at point: the canonical skeleton
+    # stands on z=0 (feet 80 mm, head 1750 mm) while make_camera_ring aims
+    # at the origin — unshifted, a realistic f pushes the head off-frame
+    poses16[..., 2] -= 1000.0
+    u2a = make_u2a_mapping(H36M_JOINTS, SPECIAL_U2A)
+    pts3d = np.zeros((N_GROUPS, 17, 3), poses16.dtype)
+    colors = [(170, 170, 170)] * 17  # unmapped joints (belly): neutral
+    for u, a in u2a.items():
+        if a == "*":
+            continue
+        pts3d[:, a] = poses16[:, u]
+        colors[a] = (int(80 + 10 * (u + 1)), int(255 - 9 * (u + 1)),
+                     int(40 + 12 * (u + 1)))  # = the MPII fixture's color u
+    pts3d[:, 7] = 0.5 * (pts3d[:, 0] + pts3d[:, 8])  # belly: root-neck mid
     db = []
     for g in range(N_GROUPS):
         for v in range(4):
