@@ -78,12 +78,10 @@ def build_mpii_fixture(root: str, seed: int = 11) -> None:
 MIXED_CFG = CFG_YAML.replace(
     "  TRAIN_DATASET: multiview_h36m",
     "  TRAIN_DATASET: mixed\n  IF_SAMPLE: true\n"
-    "  H36M_WEIGHT: 1\n  MPII_WEIGHT: 3\n"
-    # the reference's with-augmentation MPII recipe (its README table
-    # credits aug with +0.07 PCKh and most of the H36M transfer gain);
-    # +-25% scale aug also bridges the fixtures' person-scale gap
-    "  MPII_SCALE_FACTOR: 0.25\n  MPII_ROT_FACTOR: 15\n"
-    "  MPII_FLIP: true"
+    # aug measured a LOSS on this tiny fixture (it0 pseudo PCKh 0.335
+    # plain vs 0.232 with the reference's aug recipe at 60 epochs --
+    # 128 blob images can't absorb the harder task); keep it off here
+    "  H36M_WEIGHT: 1\n  MPII_WEIGHT: 3"
 ).replace("BATCH_SIZE: 2\n  BEGIN_EPOCH", "BATCH_SIZE: 4\n  BEGIN_EPOCH")
 
 
