@@ -112,6 +112,17 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
     # normalisation + input quantisation fold into one affine on the bytes
     # (make_u8_quant), so the pipeline reads 1 B/px instead of 4
     x = jax.random.randint(key, (batch, 4, 256, 256, 3), 0, 256, jnp.uint8)
+    if stem_s2d == "pre":
+        # s2d-packed serving input contract: the host loader writes warp
+        # output pixels at space-to-depth addresses (free on the host), so
+        # the device-side retile that sank the original s2d stem never
+        # exists. Same bytes, different arrangement.
+        xh = np.asarray(x).reshape(batch, 4, 128, 2, 128, 2, 3)
+        x = jnp.asarray(
+            np.ascontiguousarray(
+                xh.transpose(0, 1, 2, 4, 3, 5, 6)
+            ).reshape(batch, 4, 128, 128, 12)
+        )
     u8_quant, _ = make_u8_quant(
         qparams, cfg.DATASET.MEAN, cfg.DATASET.STD
     )
@@ -122,6 +133,9 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
     params = {"q": qparams, "qagg": qagg}
 
     flip_pairs = union_flip_pairs()
+
+    assert not (flip_test and stem_s2d == "pre"), \
+        "flip-test on s2d-packed input needs the packed W-mirror (not wired)"
 
     def one(params, x):
         flat = x.reshape((batch * 4,) + x.shape[2:])

@@ -318,8 +318,14 @@ class _Int8Runner:
         if s2d:
             # space-to-depth stem: the 7x7/s2 conv's Cin=3 starves the MXU
             # contraction; fold 2x2 input phases into channels (Cin=12) and
-            # run the 4x4/s1 form (s2d_stem_weights) — bit-exact
-            h_q = _s2d(h_q)
+            # run the 4x4/s1 form (s2d_stem_weights) — bit-exact.
+            # s2d="pre": the input ALREADY arrives s2d-packed (the serving
+            # input contract; the host loader writes warp output pixels at
+            # s2d addresses for free) — the in-graph retile that sank the
+            # original s2d experiment (PERF.md: 2,833 -> 1,451 f/s) never
+            # runs on device.
+            if s2d != "pre":
+                h_q = _s2d(h_q)
             stride, kw = 1, {"padding": [(2, 1), (2, 1)]}
         if subpixel:
             # requantize BEFORE the depth-to-space: bias/ReLU/quantize fuse
@@ -449,7 +455,7 @@ def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
     for kind, info in plan:
         if kind == "stem":
             if stem_s2d:
-                h_q, s_h = runner.qchain(h_q, s_h, "stem", s2d=True)
+                h_q, s_h = runner.qchain(h_q, s_h, "stem", s2d=stem_s2d)
             else:
                 h_q, s_h = runner.qchain(h_q, s_h, "stem", stride=2)
             # max-pool commutes with the (positive-scale) quantization
@@ -823,7 +829,13 @@ def make_u8_quant(qparams, mean, std):
     b = jnp.asarray(-mean / (std * s_in))
 
     def fn(u8):
-        x = u8.astype(jnp.float32) * a + b
+        av, bv = a, b
+        if u8.shape[-1] != a.shape[-1] and u8.shape[-1] % a.shape[-1] == 0:
+            # s2d-packed input: channels are (a, b)-major x RGB — the same
+            # per-RGB affine tiles across the four packed phases
+            reps = u8.shape[-1] // a.shape[-1]
+            av, bv = jnp.tile(a, reps), jnp.tile(b, reps)
+        x = u8.astype(jnp.float32) * av + bv
         return jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
 
     return fn, s_in

@@ -129,6 +129,15 @@ def test_s2d_stem_bitexact(rng):
     np.testing.assert_array_equal(np.asarray(f1(q1, x)),
                                   np.asarray(f2(q2, x)))
 
+    # "pre" mode: the input arrives ALREADY s2d-packed (host-side serving
+    # contract) — same conv, no device retile, still bit-exact
+    from posetpu.models.quant import _s2d
+
+    q3, f3 = quantize_pose_resnet(model, variables, calib, jns_head=True,
+                                  stem_s2d="pre")
+    np.testing.assert_array_equal(np.asarray(f1(q1, x)),
+                                  np.asarray(f3(q3, _s2d(x))))
+
 
 def test_per_name_subpixel_deconv(rng):
     """subpixel_deconvs as a name set quantizes only those deconvs in phase
