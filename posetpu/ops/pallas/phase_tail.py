@@ -394,25 +394,34 @@ def _subpixel_deconv_kernel(
     hw = h * w
     inv_so = 1.0 / so_ref[0, 0]
     col_variants, row_shift = _make_shift_helpers(hw, w, cin, interpret)
+    # pair images per dot: at deconv0's 8x8 the per-image M=64 underfills
+    # the MXU; two per-image-shifted operands CONCATENATE into one M=128
+    # dot (shifts/masks are per-image and applied before the concat)
+    pair = 2 if nb % 2 == 0 else 1
 
-    for k in range(nb):
-        xc = col_variants(x_ref[k])
+    for k in range(0, nb, pair):
+        xcs = [col_variants(x_ref[k + i]) for i in range(pair)]
         for g, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            acc = jnp.zeros((hw, cout), jnp.int32)
+            acc = jnp.zeros((pair * hw, cout), jnp.int32)
             for t, (u, v) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
                 sr = u - (1 - a)
                 sc = v - (1 - b)
+                xv = jnp.concatenate(
+                    [row_shift(xc[sc], sr) for xc in xcs], axis=0)
                 acc += jax.lax.dot_general(
-                    row_shift(xc[sc], sr), w_ref[g, t],
+                    xv, w_ref[g, t],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
             zf = (acc.astype(jnp.float32) * sv_ref[g][None, :]
                   + bv_ref[g][None, :])
             zf = jnp.maximum(zf, 0.0)
-            out_ref[g * hw:(g + 1) * hw, k * cout:(k + 1) * cout] = jnp.clip(
-                jnp.round(zf * inv_so), -127, 127
-            ).astype(jnp.int8)
+            zq = jnp.clip(jnp.round(zf * inv_so), -127, 127).astype(jnp.int8)
+            for i in range(pair):
+                out_ref[g * hw:(g + 1) * hw,
+                        (k + i) * cout:(k + i + 1) * cout] = (
+                    zq[i * hw:(i + 1) * hw]
+                )
 
 
 def fused_subpixel_deconv(x, args, *, h: int, w: int,
