@@ -520,17 +520,24 @@ def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
                     # in one VMEM pass, bit-exact vs the qchain subpixel
                     # path below (XLA emitted the [2,2,I,4O] conv 5x over
                     # its roofline — device trace, PERF.md)
-                    from posetpu.ops.pallas.phase_tail import (
-                        fused_subpixel_deconv,
-                        subpixel_interleave_packed,
-                    )
+                    from posetpu.ops.pallas import phase_tail as _pt
 
                     n, hh, ww, c = h_q.shape
-                    z = fused_subpixel_deconv(
-                        h_q.reshape(n, hh * ww, c),
-                        runner.q[f"subpix_{info['name']}"], h=hh, w=ww,
-                        interpret=str(phase_kernel).startswith("interpret"))
-                    h_q = subpixel_interleave_packed(z)
+                    interp = str(phase_kernel).startswith("interpret")
+                    if _pt.SUBPIX_BATCHED:
+                        # one M=nb*hw dot per (phase, tap): the K=2048
+                        # weight slabs stream from VMEM once per block
+                        z = _pt.fused_subpixel_deconv_batched(
+                            h_q.reshape(n, hh * ww, c),
+                            runner.q[f"subpix_{info['name']}"], h=hh, w=ww,
+                            interpret=interp)
+                        h_q = _pt.subpixel_interleave_packed_nmajor(z)
+                    else:
+                        z = _pt.fused_subpixel_deconv(
+                            h_q.reshape(n, hh * ww, c),
+                            runner.q[f"subpix_{info['name']}"], h=hh, w=ww,
+                            interpret=interp)
+                        h_q = _pt.subpixel_interleave_packed(z)
                     s_h = runner.q["act_scales"][f"{info['name']}.out"]
                 else:
                     # subpixel decomposition: 4x fewer MACs. ALL-deconv

@@ -40,9 +40,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Route the inner subpixel deconvs through the fully-batched kernel
+# variant (one M=nb*hw dot per (phase, tap)). Measured on chip at the
+# adopted serving config: 3,010 -> 3,102 f/s same-session A/B (the
+# per-image-pair kernel re-streamed deconv0's K=2048 weight slabs 4x per
+# block). quant._forward reads this at trace time; the per-pair kernel
+# stays for receipts/regression.
+SUBPIX_BATCHED = True
 
-def _make_shift_helpers(hw: int, w: int, cin: int, interpret: bool):
-    """Row/column shift machinery over an [hw, cin] int8 image matrix."""
+
+def _make_shift_helpers(hw: int, w: int, cin: int, interpret: bool,
+                        nimg: int = 1):
+    """Row/column shift machinery over an [nimg*hw, cin] int8 matrix of
+    ``nimg`` row-major [hw, cin] images stacked on the row axis.
+
+    With ``nimg > 1`` every shift is one full-matrix sublane rotate plus a
+    positional mask — the circular wrap always lands on a masked position
+    (column shifts wrap onto a row-edge column; row shifts wrap onto an
+    image-edge row), so per-image slicing never happens and one MXU dot can
+    span all ``nimg`` images."""
+    tot = nimg * hw
     if interpret:
         rot_rows = lambda x, shift: jnp.roll(x, -shift, 0)
     else:
@@ -50,10 +67,10 @@ def _make_shift_helpers(hw: int, w: int, cin: int, interpret: bool):
             # Mosaic only rotates 32-bit data: reinterpret 4 int8 lanes as
             # one int32 lane (row content unchanged), rotate, cast back
             xi = pltpu.bitcast(x, jnp.int32)
-            return pltpu.bitcast(pltpu.roll(xi, (-shift) % hw, 0), jnp.int8)
+            return pltpu.bitcast(pltpu.roll(xi, (-shift) % tot, 0), jnp.int8)
 
-    row_j = jax.lax.broadcasted_iota(jnp.int32, (hw, cin), 0) % w
-    zero = jnp.zeros((hw, cin), jnp.int8)
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (tot, cin), 0) % w
+    zero = jnp.zeros((tot, cin), jnp.int8)
     zero_rows = jnp.zeros((w, cin), jnp.int8)
 
     def col_variants(x):
@@ -65,12 +82,26 @@ def _make_shift_helpers(hw: int, w: int, cin: int, interpret: bool):
             -1: jnp.where(row_j != 0, rot_rows(x, -1), zero),
         }
 
-    def row_shift(xv, sr):
-        if sr == -1:  # x rows shift down one image row
-            return jnp.concatenate([zero_rows, xv[: hw - w]], axis=0)
-        if sr == 1:
-            return jnp.concatenate([xv[w:], zero_rows], axis=0)
-        return xv
+    if nimg == 1:
+        def row_shift(xv, sr):
+            # single image: aligned slice + zero block (one sublane tile)
+            if sr == -1:  # x rows shift down one image row
+                return jnp.concatenate([zero_rows, xv[: hw - w]], axis=0)
+            if sr == 1:
+                return jnp.concatenate([xv[w:], zero_rows], axis=0)
+            return xv
+    else:
+        row_r = jax.lax.broadcasted_iota(jnp.int32, (tot, cin), 0) % hw
+
+        def row_shift(xv, sr):
+            # batched: rotate by one image row and zero the rows that fell
+            # off each image's edge (the wrap crosses image boundaries only
+            # at masked rows)
+            if sr == 1:  # reads x[i+1, :]: last image row becomes zero
+                return jnp.where(row_r < hw - w, rot_rows(xv, w), zero)
+            if sr == -1:
+                return jnp.where(row_r >= w, rot_rows(xv, -w), zero)
+            return xv
 
     return col_variants, row_shift
 
@@ -464,6 +495,90 @@ def fused_subpixel_deconv(x, args, *, h: int, w: int,
         interpret=interpret,
     )(x, wp, sv, bv, so)
     return out.reshape(4, h, w, n, cout)
+
+
+def _subpixel_deconv_kernel_batched(
+    x_ref, w_ref, sv_ref, bv_ref, so_ref, out_ref,
+    *, nb: int, h: int, w: int, cin: int, cout: int, interpret: bool,
+):
+    """Fully-batched subpixel deconv: ONE M=nb*H*W dot per (phase, tap), so
+    each [Cin, Cout] weight slab streams from VMEM to the MXU once per
+    block (the per-image-pair form re-streamed all 16 slabs nb/2 times —
+    at deconv0's K=2048 that re-streaming is the measured bottleneck).
+    Shifts become full-matrix rotates with positional masks
+    (_make_shift_helpers nimg=nb). out_ref [4, nb, H*W, Cout] int8."""
+    hw = h * w
+    inv_so = 1.0 / so_ref[0, 0]
+    col_variants, row_shift = _make_shift_helpers(
+        hw, w, cin, interpret, nimg=nb)
+
+    xall = x_ref[:].reshape(nb * hw, cin)
+    xc = col_variants(xall)
+    for g, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        acc = jnp.zeros((nb * hw, cout), jnp.int32)
+        for t, (u, v) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            acc += jax.lax.dot_general(
+                row_shift(xc[v - (1 - b)], u - (1 - a)), w_ref[g, t],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        zf = (acc.astype(jnp.float32) * sv_ref[g][None, :]
+              + bv_ref[g][None, :])
+        zf = jnp.maximum(zf, 0.0)
+        out_ref[g] = jnp.clip(
+            jnp.round(zf * inv_so), -127, 127
+        ).astype(jnp.int8).reshape(nb, hw, cout)
+
+
+def fused_subpixel_deconv_batched(x, args, *, h: int, w: int,
+                                  interpret: bool = False):
+    """Batched-dot twin of :func:`fused_subpixel_deconv`: x [N, H*W, Cin]
+    int8 -> int8 phase maps [4, N, H, W, Cout] (phase major, image-major
+    rows). Same int8 products / int32 sums / f32 epilogue order as the
+    per-pair kernel — bit-exact vs quant.qchain(subpixel=True)
+    (tests/test_phase_kernel.py)."""
+    n, hw, cin = x.shape
+    assert hw == h * w
+    nb = 8
+    pad = (-n) % nb
+    if pad:  # Mosaic forbids a middle-axis output block < the array dim
+        x = jnp.concatenate([x, jnp.zeros((pad, hw, cin), x.dtype)], axis=0)
+        n += pad
+    wp, sv, bv, so = args["w"], args["sv"], args["bv"], args["so"]
+    cout = wp.shape[-1]
+
+    const = lambda *s: pl.BlockSpec(
+        s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_subpixel_deconv_kernel_batched, nb=nb, h=h, w=w, cin=cin,
+                cout=cout, interpret=interpret),
+        grid=(n // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, hw, cin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(4, 4, cin, cout),
+            const(4, cout),
+            const(4, cout),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((4, nb, hw, cout), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n, hw, cout), jnp.int8),
+        interpret=interpret,
+    )(x, wp, sv, bv, so)
+    if pad:
+        out = out[:, :n - pad]
+    return out.reshape(4, n - pad if pad else n, h, w, cout)
+
+
+def subpixel_interleave_packed_nmajor(z):
+    """[4, N, H, W, Cout] phase maps ((a, b) major, image-major) ->
+    [N, 2H, 2W, Cout] depth-to-space (fused_subpixel_deconv_batched's
+    output contract)."""
+    _, n, h, w, cout = z.shape
+    y = z.reshape(2, 2, n, h, w, cout)
+    y = jnp.transpose(y, (2, 3, 0, 4, 1, 5))  # [N, H, 2, W, 2, Cout]
+    return y.reshape(n, 2 * h, 2 * w, cout)
 
 
 def subpixel_interleave_packed(z):

@@ -93,16 +93,51 @@ def test_subpixel_deconv_kernel_bitexact_vs_xla_subpixel(rng):
     """The inner-deconv Pallas kernel (fused_subpixel_deconv) must be
     bit-exact vs quant.qchain(subpixel=True) through the whole forward
     (deconv0 subpixel + phase tail, the adopted serving config)."""
+    from posetpu.ops.pallas import phase_tail as pt
+
     model, variables = _trained_like_variables(rng)
     calib = [rng.randn(2, 64, 64, 3).astype(np.float32)]
     kw = dict(jns_head="phase", subpixel_deconvs={"deconv0"})
     qparams, fwd = quantize_pose_resnet(model, variables, calib, **kw)
-    qparams_k, fwd_k = quantize_pose_resnet(model, variables, calib,
-                                            phase_kernel="interpret", **kw)
-    assert "subpix_deconv0" in qparams_k
+    old = pt.SUBPIX_BATCHED
+    pt.SUBPIX_BATCHED = False  # pin the per-pair kernel (receipts coverage)
+    try:
+        qparams_k, fwd_k = quantize_pose_resnet(model, variables, calib,
+                                                phase_kernel="interpret",
+                                                **kw)
+        assert "subpix_deconv0" in qparams_k
 
-    x = jnp.asarray(rng.randn(4, 64, 64, 3).astype(np.float32))
-    ref = np.asarray(fwd(qparams, x))
-    got = np.asarray(fwd_k(qparams_k, x))
-    assert got.shape == ref.shape
-    np.testing.assert_array_equal(got, ref)
+        x = jnp.asarray(rng.randn(4, 64, 64, 3).astype(np.float32))
+        ref = np.asarray(fwd(qparams, x))
+        got = np.asarray(fwd_k(qparams_k, x))
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
+    finally:
+        pt.SUBPIX_BATCHED = old
+
+
+def test_subpixel_deconv_kernel_batched_bitexact(rng):
+    """The fully-batched variant (one M=nb*hw dot per (phase, tap),
+    fused_subpixel_deconv_batched) is bit-exact vs the per-pair kernel
+    path — same products/sums/epilogue, different dot batching. Covers
+    both the nb=8 grid and the padded (n % 8 != 0) path."""
+    from posetpu.ops.pallas import phase_tail as pt
+
+    model, variables = _trained_like_variables(rng)
+    calib = [rng.randn(2, 64, 64, 3).astype(np.float32)]
+    kw = dict(jns_head="phase", subpixel_deconvs={"deconv0"})
+    qparams, fwd = quantize_pose_resnet(model, variables, calib, **kw)
+    old = pt.SUBPIX_BATCHED
+    pt.SUBPIX_BATCHED = True
+    try:
+        qparams_b, fwd_b = quantize_pose_resnet(model, variables, calib,
+                                                phase_kernel="interpret",
+                                                **kw)
+        for n in (8, 3):
+            x = jnp.asarray(rng.randn(n, 64, 64, 3).astype(np.float32))
+            ref = np.asarray(fwd(qparams, x))
+            got = np.asarray(fwd_b(qparams_b, x))
+            assert got.shape == ref.shape
+            np.testing.assert_array_equal(got, ref)
+    finally:
+        pt.SUBPIX_BATCHED = old
