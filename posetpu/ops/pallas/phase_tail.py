@@ -48,6 +48,14 @@ from jax.experimental.pallas import tpu as pltpu
 # stays for receipts/regression.
 SUBPIX_BATCHED = True
 
+# Measured and REJECTED (receipts in PERF.md): batching the two-level
+# tail's deconv1 stage across the whole image block (one M=nb*hw dot per
+# (phase, tap)) lost 3,160 -> 3,083 f/s on chip — deconv1's M=256 dots
+# were not the bottleneck and the per-image dynamic plane slices cost
+# more than the batching saved. Bit-exact either way
+# (tests/test_phase_kernel.py); kept off.
+TAIL2_BATCH_D1 = False
+
 
 def _make_shift_helpers(hw: int, w: int, cin: int, interpret: bool,
                         nimg: int = 1):
@@ -222,7 +230,7 @@ def _phase_tail2_kernel(
     x_ref, w1_ref, s1_ref, so1_ref, w2_ref, s2_ref, so2_ref, wh_ref,
     vh_ref, out_ref, z1_s, z2_s,
     *, nb: int, h: int, w: int, cin: int, cmid: int, cout: int,
-    joints: int, interpret: bool,
+    joints: int, interpret: bool, batch_d1: bool = False,
 ):
     """Two-level fused tail: deconv1's four phase planes AND deconv2's
     phase convs AND the 1x1 head, all in one VMEM pass per image — the
@@ -252,28 +260,53 @@ def _phase_tail2_kernel(
     col_variants2, row_shift2 = _make_shift_helpers(hw, w, cmid, interpret)
     phases = ((0, 0), (0, 1), (1, 0), (1, 1))
 
-    def one_image(n, _):
-        xc = col_variants(x_ref[n])
-        # deconv1: four phase planes, requantized (bit-exact vs the
-        # dilated-conv + requant XLA path)
+    if batch_d1:
+        # deconv1 batched across the whole image block: one M=nb*hw dot per
+        # (phase, tap) — weight slabs stream once per block and the four
+        # big epilogues replace 4*nb small ones. z1_s is [4, nb*hw, cmid]
+        # (plane-major, image-major rows); deconv2 below slices per image.
+        colb, rowb = _make_shift_helpers(hw, w, cin, interpret, nimg=nb)
+        xc = colb(x_ref[:].reshape(nb * hw, cin))
         for g, (a, b) in enumerate(phases):
-            acc = jnp.zeros((hw, cmid), jnp.int32)
+            acc = jnp.zeros((nb * hw, cmid), jnp.int32)
             for t, (u, v) in enumerate(phases):
                 acc += jax.lax.dot_general(
-                    row_shift(xc[v - (1 - b)], u - (1 - a)), w1_ref[g, t],
+                    rowb(xc[v - (1 - b)], u - (1 - a)), w1_ref[g, t],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
             zf = acc.astype(jnp.float32) * sv1[None, :] + bv1[None, :]
             zf = jnp.maximum(zf, 0.0)
-            z1_s[g * hw:(g + 1) * hw, :] = jnp.clip(
+            z1_s[g] = jnp.clip(
                 jnp.round(zf * inv_so1), -127, 127
             ).astype(jnp.int8)
 
+    def one_image(n, _):
+        if not batch_d1:
+            xc = col_variants(x_ref[n])
+            # deconv1: four phase planes, requantized (bit-exact vs the
+            # dilated-conv + requant XLA path)
+            for g, (a, b) in enumerate(phases):
+                acc = jnp.zeros((hw, cmid), jnp.int32)
+                for t, (u, v) in enumerate(phases):
+                    acc += jax.lax.dot_general(
+                        row_shift(xc[v - (1 - b)], u - (1 - a)), w1_ref[g, t],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                zf = acc.astype(jnp.float32) * sv1[None, :] + bv1[None, :]
+                zf = jnp.maximum(zf, 0.0)
+                z1_s[g * hw:(g + 1) * hw, :] = jnp.clip(
+                    jnp.round(zf * inv_so1), -127, 127
+                ).astype(jnp.int8)
+
         # column variants of each deconv1 plane, computed once
+        plane = (
+            (lambda p: z1_s[p, pl.ds(n * hw, hw), :]) if batch_d1
+            else (lambda p: z1_s[p * hw:(p + 1) * hw, :])
+        )
         pv = {
-            (pa, pb): col_variants2(
-                z1_s[(pa * 2 + pb) * hw:(pa * 2 + pb + 1) * hw, :])
+            (pa, pb): col_variants2(plane(pa * 2 + pb))
             for pa in range(2) for pb in range(2)
         }
 
@@ -338,13 +371,15 @@ def fused_phase_tail2(x, args, *, h: int, w: int, interpret: bool = False):
     cmid = args["w1"].shape[-1]
     cout, joints = args["wh"].shape
 
+    batch_d1 = TAIL2_BATCH_D1
     const = lambda *s: pl.BlockSpec(
         s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec((1, 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         partial(_phase_tail2_kernel, nb=nb, h=h, w=w, cin=cin, cmid=cmid,
-                cout=cout, joints=joints, interpret=interpret),
+                cout=cout, joints=joints, interpret=interpret,
+                batch_d1=batch_d1),
         grid=(n // nb,),
         in_specs=[
             pl.BlockSpec((nb, hw, cin), lambda i: (i, 0, 0),
@@ -361,7 +396,9 @@ def fused_phase_tail2(x, args, *, h: int, w: int, interpret: bool = False):
         out_specs=pl.BlockSpec((joints, nb, 16 * hw), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((joints, n, 16 * hw), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((4 * hw, cmid), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((4, nb * hw, cmid), jnp.int8)
+                        if batch_d1 else
+                        pltpu.VMEM((4 * hw, cmid), jnp.int8),
                         pltpu.VMEM((16 * hw, cout), jnp.int8)],
         interpret=interpret,
     )(x, args["w1"], args["s1"], args["so1"], args["w2"], args["s2"],

@@ -54,6 +54,20 @@ def test_phase_tail2_bitexact_vs_xla_phase_tail(rng):
     assert got.shape == ref.shape
     np.testing.assert_array_equal(got, ref)
 
+    # the measured-and-rejected batched-deconv1 variant stays bit-exact
+    from posetpu.ops.pallas import phase_tail as pt
+
+    old = pt.TAIL2_BATCH_D1
+    pt.TAIL2_BATCH_D1 = True
+    try:
+        qparams_b, fwd_b = quantize_pose_resnet(model, variables, calib,
+                                                jns_head="phase",
+                                                phase_kernel="interpret2")
+        got_b = np.asarray(fwd_b(qparams_b, x))[..., t2["packed"]]
+        np.testing.assert_array_equal(got_b, ref)
+    finally:
+        pt.TAIL2_BATCH_D1 = old
+
 
 def test_two_level_packed_ops_match_rowmajor(rng):
     """levels=2 tables are a true packing (decode/flip/shift twins all
