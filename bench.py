@@ -134,13 +134,17 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
 
     flip_pairs = union_flip_pairs()
 
-    assert not (flip_test and stem_s2d == "pre"), \
-        "flip-test on s2d-packed input needs the packed W-mirror (not wired)"
-
     def one(params, x):
         flat = x.reshape((batch * 4,) + x.shape[2:])
         if flip_test:
-            flat = jnp.concatenate([flat, flat[:, :, ::-1, :]])
+            if stem_s2d == "pre":
+                # packed W-mirror: reverse packed columns + swap b-phase
+                # channel groups (quant.mirror_s2d == mirror-then-pack)
+                from posetpu.models.quant import mirror_s2d
+
+                flat = jnp.concatenate([flat, mirror_s2d(flat)])
+            else:
+                flat = jnp.concatenate([flat, flat[:, :, ::-1, :]])
         hm = qfwd(params["q"], u8_quant(flat))
         if tail == "phase":  # hm: [J, N*4(*2), S] phase-PACKED maps
             from posetpu.core.inference import (
@@ -272,20 +276,22 @@ def main():
         results["bf16_fused"] = max(
             results.get("bf16_fused", 0.0), _measure(pipeline, variables, x, batch, rtt)
         )
-        # adopted serving config (PERF.md wins #5/#6): phase-PACKED tail +
+        # adopted serving config (PERF.md wins #5/#6/#9): phase-PACKED tail +
         # per-name subpixel deconv0 + fused Pallas phase/deconv kernels
         # (two-level fold: deconv1+deconv2+head in one kernel) + grouped
-        # (fused-mean) int8 aggregation
+        # (fused-mean) int8 aggregation + pre-packed space-to-depth input
+        # (the native loader writes warp pixels at s2d addresses for free;
+        # flip-test uses the packed W-mirror — tests/test_phase_tail.py)
         qpipe, qparams, qx = _build_int8(batch, subpixel_deconvs={"deconv0"},
                                          phase_kernel=2,
-                                         grouped_aggre=True)
+                                         grouped_aggre=True, stem_s2d="pre")
         results["int8"] = max(
             results.get("int8", 0.0), _measure(qpipe, qparams, qx, batch, rtt)
         )
         fpipe, fparams, fx = _build_int8(batch, flip_test=True,
                                          subpixel_deconvs={"deconv0"},
                                          phase_kernel=2,
-                                         grouped_aggre=True)
+                                         grouped_aggre=True, stem_s2d="pre")
         results["int8_flip"] = max(
             results.get("int8_flip", 0.0),
             _measure(fpipe, fparams, fx, batch, rtt),

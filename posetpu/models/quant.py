@@ -165,6 +165,22 @@ def _s2d(x):
     return xd.reshape(n, h // 2, w // 2, 4 * c)
 
 
+def mirror_s2d(x):
+    """Horizontal mirror of an s2d-packed image [..., H/2, W/2, 4*C]
+    WITHOUT unpacking: virtual column j = 2*jj + b mirrors to
+    W-1-j = 2*(W/2-1-jj) + (1-b), i.e. reverse the packed column axis and
+    swap the b-phase channel groups. Exactly ``_s2d(x_rowmajor[..., ::-1, :])``
+    — the flip-test input mirror for the s2d serving contract
+    (reference semantics: lib/core/function.py:557-562's input flip)."""
+    c4 = x.shape[-1]
+    c = c4 // 4
+    perm = np.concatenate([
+        np.arange(c, 2 * c), np.arange(0, c),          # a=0: b=1 <-> b=0
+        np.arange(3 * c, 4 * c), np.arange(2 * c, 3 * c),  # a=1
+    ])
+    return x[..., ::-1, perm]
+
+
 def _subpixel_wants(subpixel_deconvs, name) -> bool:
     """``subpixel_deconvs`` is either a bool (all k4 deconvs) or a collection
     of deconv names (per-site policy)."""

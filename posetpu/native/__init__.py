@@ -66,7 +66,7 @@ def _load():
             ctypes.c_int, ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.ptpu_zip_read.restype = ctypes.c_long
         lib.ptpu_zip_read.argtypes = [
@@ -120,7 +120,7 @@ def load_warp_batch(paths, inners, inv_ms, out_h: int, out_w: int,
 
 
 def load_warp_batch_geom(paths, inners, geoms, out_h: int, out_w: int,
-                         n_threads: int = 8):
+                         n_threads: int = 8, s2d: bool = False):
     """Geometry-driven threaded batch decode+warp.
 
     ``geoms``: [N, 5] float32 rows (cx, cy, box_w_px, rot_deg, flip). The
@@ -129,14 +129,22 @@ def load_warp_batch_geom(paths, inners, geoms, out_h: int, out_w: int,
     stay on the C++ path (the old per-matrix API had to fall back to Python
     for them).
 
-    Returns (images [N, out_h, out_w, 3] uint8 BGR, widths [N] int32 with -1
-    marking per-record failures, n_failures); None if the lib is missing.
+    ``s2d=True`` writes each record space-to-depth packed —
+    [N, out_h/2, out_w/2, 12] with channels ((y&1)*2 + (x&1))*3 + c, the
+    serving input contract of quant.qchain(s2d="pre") (same bytes, free on
+    the host; the device-side retile that sank the in-graph s2d stem never
+    exists).
+
+    Returns (images [N, out_h, out_w, 3] uint8 BGR — or the packed shape
+    with ``s2d`` — widths [N] int32 with -1 marking per-record failures,
+    n_failures); None if the lib is missing.
     """
     lib = _load()
     if lib is None:
         return None
     n = len(paths)
-    dst = np.empty((n, out_h, out_w, 3), np.uint8)
+    shape = (n, out_h // 2, out_w // 2, 12) if s2d else (n, out_h, out_w, 3)
+    dst = np.empty(shape, np.uint8)
     widths = np.empty(n, np.int32)
     g = np.ascontiguousarray(np.asarray(geoms, np.float32).reshape(n, 5))
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
@@ -146,7 +154,7 @@ def load_warp_batch_geom(paths, inners, geoms, out_h: int, out_w: int,
         g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        out_h, out_w, n_threads,
+        out_h, out_w, n_threads, 1 if s2d else 0,
     )
     return dst, widths, int(fails)
 

@@ -139,6 +139,45 @@ def test_s2d_stem_bitexact(rng):
                                   np.asarray(f3(q3, _s2d(x))))
 
 
+def test_mirror_s2d_matches_mirror_then_pack(rng):
+    """Packed horizontal mirror (flip-test on the s2d serving input):
+    mirror_s2d(pack(x)) == pack(x[..., ::-1, :]) exactly — reversing the
+    packed column axis + swapping the b-phase channel groups IS the
+    row-major W-mirror. Also checks the native loader's s2d output is the
+    pack of its plain output (same bytes, s2d addresses)."""
+    from posetpu.models.quant import _s2d, mirror_s2d
+
+    x = jnp.asarray(rng.randint(0, 256, (2, 8, 12, 3)).astype(np.uint8))
+    packed = _s2d(x)
+    np.testing.assert_array_equal(
+        np.asarray(mirror_s2d(packed)), np.asarray(_s2d(x[:, :, ::-1, :])))
+
+
+def test_native_loader_s2d_output(rng, tmp_path):
+    """native.load_warp_batch_geom(s2d=True) returns exactly the space-to-
+    depth pack of its plain output (serving input contract for
+    quant.qchain(s2d='pre'))."""
+    import cv2
+
+    from posetpu import native
+
+    if not native.available():  # toolchain-less environment: Python path only
+        import pytest
+
+        pytest.skip("native loader unavailable")
+    img = (rng.rand(64, 80, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "img.jpg")
+    cv2.imwrite(p, img)
+    geom = np.array([[40, 32, 48, 0, 0]], np.float32)
+    plain, w1, f1 = native.load_warp_batch_geom([p], [""], geom, 32, 32)
+    packed, w2, f2 = native.load_warp_batch_geom([p], [""], geom, 32, 32,
+                                                 s2d=True)
+    assert f1 == 0 and f2 == 0
+    ref = (plain.reshape(1, 16, 2, 16, 2, 3)
+           .transpose(0, 1, 3, 2, 4, 5).reshape(1, 16, 16, 12))
+    np.testing.assert_array_equal(packed, ref)
+
+
 def test_per_name_subpixel_deconv(rng):
     """subpixel_deconvs as a name set quantizes only those deconvs in phase
     layout; output stays close to the all-dilated path (finer per-phase
