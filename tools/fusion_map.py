@@ -20,8 +20,13 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     qpipe, qparams, qx = bench._build_int8(batch, subpixel_deconvs={"deconv0"},
                                            phase_kernel=2,
-                                           grouped_aggre=True)
+                                           grouped_aggre=True, stem_s2d="pre")
     txt = qpipe.lower(qparams, qx).compile().as_text()
+    import os
+    dump = os.environ.get("FUSION_MAP_DUMP")
+    if dump:  # keep the full optimized HLO for offline analysis
+        with open(dump, "w") as f:
+            f.write(txt)
 
     # computation name -> list of interesting op lines inside it
     comp = None
