@@ -26,7 +26,8 @@ LOOP_INSIDE = 10  # pipeline steps per host fetch (amortises tunnel RTT)
 
 def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
                 stem_s2d: bool = False, subpixel_deconvs=False,
-                phase_kernel: bool = False, grouped_aggre: bool = False):
+                phase_kernel: bool = False, grouped_aggre: bool = False,
+                input_layout: str = "nhwc"):
     """int8 serving pipeline: PTQ ResNet-50 trunk -> bf16 aggregation fusion
     -> fuse routing -> decode -> triangulate (same stages as the bf16 path).
 
@@ -123,6 +124,19 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
                 xh.transpose(0, 1, 2, 4, 3, 5, 6)
             ).reshape(batch, 4, 128, 128, 12)
         )
+    if input_layout == "hwcn":
+        # batch-minor serving input contract: physical byte order
+        # (H, W, C, N). XLA's stem-conv emitter wants its int8 input in the
+        # {0,3,2,1} (N-minor) layout; with the bytes ARRIVING in that order
+        # the u8 affine emits it directly and the 0.22 ms input retile
+        # (copy.809 in the round-2 device trace) never exists. The host
+        # loader writes warp output pixels at strided addresses for free —
+        # same bytes, different arrangement (cf. stem_s2d="pre").
+        assert stem_s2d == "pre"
+        x = jnp.asarray(np.ascontiguousarray(
+            np.asarray(x).reshape((batch * 4,) + x.shape[2:])
+            .transpose(1, 2, 3, 0)
+        ))
     u8_quant, _ = make_u8_quant(
         qparams, cfg.DATASET.MEAN, cfg.DATASET.STD
     )
@@ -135,17 +149,29 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
     flip_pairs = union_flip_pairs()
 
     def one(params, x):
-        flat = x.reshape((batch * 4,) + x.shape[2:])
-        if flip_test:
-            if stem_s2d == "pre":
-                # packed W-mirror: reverse packed columns + swap b-phase
-                # channel groups (quant.mirror_s2d == mirror-then-pack)
-                from posetpu.models.quant import mirror_s2d
+        if input_layout == "hwcn":
+            # x: [H, W2, C4, N*4] u8. The mirror is the packed W-reverse +
+            # b-phase channel-group swap (quant.mirror_s2d's permutation on
+            # the hwcn axes); the N-axis transpose to NHWC is layout-free
+            # (the physical order already IS the conv's preferred layout).
+            if flip_test:
+                from posetpu.models.quant import mirror_s2d_hwcn
 
-                flat = jnp.concatenate([flat, mirror_s2d(flat)])
-            else:
-                flat = jnp.concatenate([flat, flat[:, :, ::-1, :]])
-        hm = qfwd(params["q"], u8_quant(flat))
+                x = jnp.concatenate([x, mirror_s2d_hwcn(x)], axis=3)
+            flat = jnp.transpose(x, (3, 0, 1, 2))
+            hm = qfwd(params["q"], u8_quant(flat))
+        else:
+            flat = x.reshape((batch * 4,) + x.shape[2:])
+            if flip_test:
+                if stem_s2d == "pre":
+                    # packed W-mirror: reverse packed columns + swap b-phase
+                    # channel groups (quant.mirror_s2d == mirror-then-pack)
+                    from posetpu.models.quant import mirror_s2d
+
+                    flat = jnp.concatenate([flat, mirror_s2d(flat)])
+                else:
+                    flat = jnp.concatenate([flat, flat[:, :, ::-1, :]])
+            hm = qfwd(params["q"], u8_quant(flat))
         if tail == "phase":  # hm: [J, N*4(*2), S] phase-PACKED maps
             from posetpu.core.inference import (
                 final_preds_packed,
@@ -194,6 +220,66 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
         return jax.lax.fori_loop(0, LOOP_INSIDE, body, jnp.float32(0.0))
 
     return pipeline, params, x
+
+
+def _build_serving(batch, flip_test: bool = False):
+    """The headline pipeline through the PUBLIC package API
+    (posetpu.serving.build_serving_pipeline) — the same adopted config as
+    _build_int8(subpixel_deconvs={'deconv0'}, phase_kernel=2,
+    grouped_aggre=True, stem_s2d='pre', input_layout='hwcn'), so the bench
+    number measures what a framework user actually gets. _build_int8 stays
+    as the ablation harness for tools/ab_*.py (measured identical:
+    tools/ab_serving.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from posetpu.config import default_config
+    from posetpu.data.synthetic import make_camera_ring, tile_cameras
+    from posetpu.geometry.triangulate import triangulate_points
+    from posetpu.models import get_pose_net
+    from posetpu.models.multiview import Aggregation
+    from posetpu.serving import build_serving_pipeline
+
+    cfg = default_config()
+    cfg.NETWORK.IMAGE_SIZE = np.array([256, 256])
+    cfg.NETWORK.HEATMAP_SIZE = np.array([64, 64])
+    cfg.NETWORK.AGGRE = True
+    model = get_pose_net(cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    calib = jax.random.normal(key, (2, 256, 256, 3), jnp.float32)
+    rv = model.init(key, calib, train=False)
+    aggre = Aggregation(heatmap_size=64, dtype=jnp.bfloat16)
+    av = aggre.init(key, jnp.zeros((1, 4, 64, 64, 16)))
+    variables = {
+        "params": {"resnet": rv["params"],
+                   "aggre_layer": {"weight": av["params"]["weight"]}},
+        "batch_stats": {"resnet": rv["batch_stats"]},
+    }
+    pipe = build_serving_pipeline(cfg, variables, [np.asarray(calib)],
+                                  flip_test=flip_test)
+
+    images = np.random.RandomState(0).randint(
+        0, 256, (batch, 4, 256, 256, 3)).astype(np.uint8)
+    x = jnp.asarray(pipe.prepare(images))
+    cams = tile_cameras(make_camera_ring(), batch)
+    center = jnp.full((batch, 4, 2), 500.0, jnp.float32)
+    scale = jnp.full((batch, 4, 2), 2.5, jnp.float32)
+    is_h36m = jnp.ones((batch,), jnp.float32)
+
+    def one(params, x):
+        preds, maxvals = pipe.infer(params, x, center, scale, is_h36m)
+        pts3d = triangulate_points(preds, cams, maxvals > 0.0)
+        return jnp.sum(pts3d) + jnp.sum(preds)
+
+    @jax.jit
+    def pipeline(params, x):
+        def body(i, acc):
+            jit_bit = (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
+            return acc + one(params, jnp.bitwise_xor(x, jit_bit))
+
+        return jax.lax.fori_loop(0, LOOP_INSIDE, body, jnp.float32(0.0))
+
+    return pipeline, pipe.params, x
 
 
 def _build(batch):
@@ -276,22 +362,25 @@ def main():
         results["bf16_fused"] = max(
             results.get("bf16_fused", 0.0), _measure(pipeline, variables, x, batch, rtt)
         )
-        # adopted serving config (PERF.md wins #5/#6/#9): phase-PACKED tail +
-        # per-name subpixel deconv0 + fused Pallas phase/deconv kernels
-        # (two-level fold: deconv1+deconv2+head in one kernel) + grouped
-        # (fused-mean) int8 aggregation + pre-packed space-to-depth input
-        # (the native loader writes warp pixels at s2d addresses for free;
-        # flip-test uses the packed W-mirror — tests/test_phase_tail.py)
+        # adopted serving config (PERF.md wins #5/#6/#9/#10): phase-PACKED
+        # tail + per-name subpixel deconv0 + fused Pallas phase/deconv
+        # kernels (two-level fold: deconv1+deconv2+head in one kernel) +
+        # grouped (fused-mean) int8 aggregation + batch-minor pre-packed
+        # space-to-depth input (the native loader writes warp pixels at
+        # (h, w, c, n)-interleaved s2d addresses for free — load_warp_batch_
+        # geom(s2d=True, hwcn=True); the u8 affine then emits the stem
+        # conv's preferred N-minor layout with no input retile; flip-test
+        # uses the packed W-mirror — tests/test_phase_tail.py)
         qpipe, qparams, qx = _build_int8(batch, subpixel_deconvs={"deconv0"},
-                                         phase_kernel=2,
-                                         grouped_aggre=True, stem_s2d="pre")
+                                         phase_kernel=2, grouped_aggre=True,
+                                         stem_s2d="pre", input_layout="hwcn")
         results["int8"] = max(
             results.get("int8", 0.0), _measure(qpipe, qparams, qx, batch, rtt)
         )
         fpipe, fparams, fx = _build_int8(batch, flip_test=True,
                                          subpixel_deconvs={"deconv0"},
-                                         phase_kernel=2,
-                                         grouped_aggre=True, stem_s2d="pre")
+                                         phase_kernel=2, grouped_aggre=True,
+                                         stem_s2d="pre", input_layout="hwcn")
         results["int8_flip"] = max(
             results.get("int8_flip", 0.0),
             _measure(fpipe, fparams, fx, batch, rtt),

@@ -1,5 +1,7 @@
-"""Quantized serving example: float checkpoint -> int8 trunk + int8 fusion ->
-decoded 2D + triangulated 3D, all in one jit.
+"""Quantized serving example through the public API: float checkpoint ->
+posetpu.serving.build_serving_pipeline (int8 trunk, fused phase tail,
+grouped int8 aggregation fusion, packed uint8 input) -> decoded 2D +
+triangulated 3D.
 
     PYTHONPATH=. python examples/serve_int8.py
 """
@@ -9,48 +11,44 @@ import jax
 import jax.numpy as jnp
 
 from posetpu.config import default_config
-from posetpu.core.inference import final_preds, fuse_routing
 from posetpu.data.synthetic import make_camera_ring, tile_cameras
 from posetpu.geometry.triangulate import triangulate_points
 from posetpu.models import get_pose_net
 from posetpu.models.multiview import Aggregation
-from posetpu.models.quant import (
-    aggregation_int8_apply,
-    quantize_aggregation,
-    quantize_pose_resnet,
-)
+from posetpu.serving import build_serving_pipeline
 
 cfg = default_config()
 cfg.NETWORK.IMAGE_SIZE = np.array([256, 256])
 cfg.NETWORK.HEATMAP_SIZE = np.array([64, 64])
+cfg.NETWORK.AGGRE = True
 
 key = jax.random.PRNGKey(0)
 model = get_pose_net(cfg, dtype=jnp.float32)
 calib = jax.random.normal(key, (2, 256, 256, 3), jnp.float32)
-variables = model.init(key, calib, train=False)  # or load a converted checkpoint
-qparams, qfwd = quantize_pose_resnet(model, variables, [np.asarray(calib)])
+rv = model.init(key, calib, train=False)  # or load a converted checkpoint
+aggre_vars = Aggregation(heatmap_size=64).init(
+    key, jnp.zeros((1, 4, 64, 64, 16)))
+variables = {
+    "params": {"resnet": rv["params"],
+               "aggre_layer": {"weight": aggre_vars["params"]["weight"]}},
+    "batch_stats": {"resnet": rv["batch_stats"]},
+}
 
-aggre = Aggregation(heatmap_size=64)
-aggre_vars = aggre.init(key, jnp.zeros((1, 4, 64, 64, 16)))
-qagg = quantize_aggregation(aggre_vars["params"]["weight"])
+# one call: PTQ calibration + the bench-proven serving configuration
+pipe = build_serving_pipeline(cfg, variables, [np.asarray(calib)])
 
 B = 4
 cams = tile_cameras(make_camera_ring(), B)
 center = jnp.full((B, 4, 2), 500.0)
 scale = jnp.full((B, 4, 2), 2.5)
 
+# serving input: raw uint8 camera crops, host-packed into the (H, W, C, N)
+# space-to-depth contract (the native loader writes this layout for free:
+# native.load_warp_batch_geom(s2d=True, hwcn=True))
+frames = np.random.default_rng(0).integers(
+    0, 256, (B, 4, 256, 256, 3), dtype=np.uint8)
+x = jnp.asarray(pipe.prepare(frames))
 
-@jax.jit
-def serve(qparams, qagg, views):  # views: [B, 4, 256, 256, 3] normalized
-    flat = views.reshape((B * 4,) + views.shape[2:])
-    raw = qfwd(qparams, flat).reshape((B, 4, 64, 64, 16))
-    fused = aggregation_int8_apply(qagg, raw)
-    out = fuse_routing(raw, fused, jnp.ones((B,)))
-    preds, maxvals = final_preds(out, center, scale)
-    pts3d = triangulate_points(preds, cams, maxvals > 0.0)
-    return preds, pts3d
-
-
-views = jax.random.normal(key, (B, 4, 256, 256, 3), jnp.float32)
-preds, pts3d = serve(qparams, qagg, views)
+preds, maxvals = pipe.infer(pipe.params, x, center, scale, jnp.ones((B,)))
+pts3d = triangulate_points(preds, cams, maxvals > 0.0)
 print("2D preds:", preds.shape, "3D poses:", pts3d.shape)

@@ -181,6 +181,23 @@ def mirror_s2d(x):
     return x[..., ::-1, perm]
 
 
+def mirror_s2d_hwcn(x):
+    """:func:`mirror_s2d` for the batch-minor serving contract: x is
+    [H/2, W/2, 4*C, N] (physical byte order (h, w, c, n) — the layout the
+    native loader's ``hwcn`` mode writes, chosen so the device-side u8
+    affine emits the stem conv's preferred N-minor layout with no input
+    retile). The mirror is the same permutation on the hwcn axes: reverse
+    the packed column axis (axis 1) and swap the b-phase channel groups
+    (axis 2)."""
+    c4 = x.shape[2]
+    c = c4 // 4
+    perm = np.concatenate([
+        np.arange(c, 2 * c), np.arange(0, c),
+        np.arange(3 * c, 4 * c), np.arange(2 * c, 3 * c),
+    ])
+    return x[:, ::-1][:, :, perm]
+
+
 def _subpixel_wants(subpixel_deconvs, name) -> bool:
     """``subpixel_deconvs`` is either a bool (all k4 deconvs) or a collection
     of deconv names (per-site policy)."""

@@ -234,15 +234,21 @@ int zip_read(const std::string& path, const std::string& inner,
 // dst viewed as [dh/2, dw/2, 12] with channel ((y&1)*2 + (x&1))*3 + c —
 // the serving input contract that lets the device-side s2d stem skip its
 // retile (quant.qchain s2d="pre"; byte count unchanged, free on the host).
+// estride > 1 additionally multiplies every element offset (batch-minor
+// interleaving: the (H, W, C, N) serving contract writes record n's bytes
+// at flat_index * N + n, so the device-side u8 affine emits the stem
+// conv's preferred N-minor layout directly — no retile on device).
 void warp_affine(const uint8_t* src, int sh, int sw, const float* inv_m,
-                 uint8_t* dst, int dh, int dw, int s2d = 0) {
+                 uint8_t* dst, int dh, int dw, int s2d = 0,
+                 size_t estride = 1) {
   const int dw2 = dw >> 1;
   for (int y = 0; y < dh; ++y) {
     float base_x = inv_m[1] * y + inv_m[2];
     float base_y = inv_m[4] * y + inv_m[5];
-    uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3;
+    uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3 * estride;
     uint8_t* s2drow =
-        dst + (static_cast<size_t>(y >> 1) * dw2 * 12 + (y & 1) * 6);
+        dst +
+        (static_cast<size_t>(y >> 1) * dw2 * 12 + (y & 1) * 6) * estride;
     for (int x = 0; x < dw; ++x) {
       float sx = inv_m[0] * x + base_x;
       float sy = inv_m[3] * x + base_y;
@@ -265,11 +271,12 @@ void warp_affine(const uint8_t* src, int sh, int sw, const float* inv_m,
         }
       }
       uint8_t* out =
-          s2d ? s2drow + static_cast<size_t>(x >> 1) * 12 + (x & 1) * 3
-              : drow + 3 * x;
+          s2d ? s2drow + (static_cast<size_t>(x >> 1) * 12 + (x & 1) * 3) *
+                             estride
+              : drow + 3 * estride * x;
       out[0] = static_cast<uint8_t>(acc[0] + 0.5f);
-      out[1] = static_cast<uint8_t>(acc[1] + 0.5f);
-      out[2] = static_cast<uint8_t>(acc[2] + 0.5f);
+      out[estride] = static_cast<uint8_t>(acc[1] + 0.5f);
+      out[2 * estride] = static_cast<uint8_t>(acc[2] + 0.5f);
     }
   }
 }
@@ -334,7 +341,8 @@ void geom_to_inv(const float* g /*cx, cy, box_w_px, rot_deg, flip*/,
 }
 
 int load_one_geom(const char* path, const char* inner, const float* geom,
-                  uint8_t* dst, int* out_w, int dh, int dw, int s2d = 0) {
+                  uint8_t* dst, int* out_w, int dh, int dw, int s2d = 0,
+                  size_t estride = 1) {
   std::vector<uint8_t> bytes;
   if (read_bytes(path, inner, &bytes) != 0) return -1;
   std::vector<uint8_t> img;
@@ -361,7 +369,7 @@ int load_one_geom(const char* path, const char* inner, const float* geom,
       inv[3 * r + 2] = (inv[3 * r + 2] - off) / k;
     }
   }
-  warp_affine(img.data(), h, w, inv, dst, dh, dw, s2d);
+  warp_affine(img.data(), h, w, inv, dst, dh, dw, s2d, estride);
   *out_w = full_w;
   return 0;
 }
@@ -408,20 +416,26 @@ int ptpu_load_warp_batch(int n, const char** paths, const char** inners,
 // samples stay on this path. geom: [n, 5] = (cx, cy, box_w_px, rot_deg,
 // flip). out_widths[i] receives the raw image width (for host-side joint
 // flipping), or -1 on failure. s2d != 0 writes each record space-to-depth
-// packed ([dh/2, dw/2, 12], same byte count — see warp_affine). Returns
+// packed ([dh/2, dw/2, 12], same byte count — see warp_affine). hwcn != 0
+// (requires s2d) interleaves the n records batch-minor: dst viewed as
+// [dh/2, dw/2, 12, n] — record i's bytes land at flat_index * n + i, the
+// (H, W, C, N) serving contract whose physical order IS the stem conv's
+// preferred N-minor layout (kills the device-side input retile). Returns
 // the failure count.
 int ptpu_load_warp_batch_geom(int n, const char** paths, const char** inners,
                               const float* geom, uint8_t* dst,
                               int* out_widths, int dh, int dw,
-                              int n_threads, int s2d) {
+                              int n_threads, int s2d, int hwcn) {
   if (n_threads < 1) n_threads = 1;
   std::vector<int> fails(n_threads, 0);
-  const size_t stride = static_cast<size_t>(dh) * dw * 3;
+  const size_t stride =
+      hwcn ? 1 : static_cast<size_t>(dh) * dw * 3;
+  const size_t estride = hwcn ? static_cast<size_t>(n) : 1;
   auto worker = [&](int tid) {
     for (int i = tid; i < n; i += n_threads) {
       int w = -1;
       if (load_one_geom(paths[i], inners[i], geom + 5 * i, dst + stride * i,
-                        &w, dh, dw, s2d) != 0) {
+                        &w, dh, dw, s2d, estride) != 0) {
         out_widths[i] = -1;
         fails[tid]++;
       } else {

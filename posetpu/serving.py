@@ -1,0 +1,165 @@
+"""The int8 serving pipeline as a public package API.
+
+This packages the bench-proven serving configuration (PERF.md wins #4-#10)
+behind one builder, so framework users get the measured-fastest path through
+the package boundary instead of re-assembling it from quant.py primitives:
+
+- PTQ int8 trunk with the phase-PACKED tail: the last two deconvs + the 1x1
+  head run as ONE fused Pallas kernel (`ops/pallas/phase_tail.fused_phase_
+  tail2`), deconv0 as the batched subpixel kernel — heatmaps never exist in
+  row-major form on HBM.
+- grouped int8 aggregation fusion: the reference's 12 ChannelWiseFC
+  (lib/models/multiview_pose_resnet.py:16-58) as one dot_general with the
+  3-source mean inside the MXU accumulator, bank permuted offline into the
+  packed index order.
+- the reference's inference-time fuse routing (3/5 fused + 2/5 raw on h36m
+  samples, lib/core/function.py:33-88) and flip test
+  (lib/core/function.py:557-583) — the flip-test mirror is a pure index
+  permutation on the packed input (quant.mirror_s2d_hwcn).
+- the batch-minor pre-packed space-to-depth input contract: raw uint8
+  camera crops arrive [H/2, W/2, 12, N·V] ((h, w, c, n) byte order — what
+  `native.load_warp_batch_geom(s2d=True, hwcn=True)` writes for free), the
+  (x/255-mean)/std normalisation + input quantisation fold into one affine
+  on the bytes, and the u8 affine emits the stem conv's preferred N-minor
+  layout with no device-side retile.
+
+bench.py's headline measures exactly this configuration (via its ablation
+harness `_build_int8`, which keeps the knobs for `tools/ab_*.py`);
+`tools/ab_serving.py` is the A/B receipt that this public builder matches
+the harness number.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ServingPipeline(NamedTuple):
+    """A built serving pipeline.
+
+    infer(params, x_u8, center, scale, is_h36m) -> (preds, maxvals):
+        jitted; x_u8 is the packed uint8 input from :meth:`prepare` (or the
+        native loader's hwcn mode), center/scale [N, V, 2] the reference
+        crop geometry, is_h36m [N] f32 the fuse-routing source mask.
+        preds [N, V, J, 2] source-image coords, maxvals [N, V, J].
+    params: pytree holding the quantized trunk + aggregation bank — pass to
+        infer as a traced argument (embedding it as constants stalls XLA).
+    prepare(images_u8 [N, V, H, W, 3]) -> packed [H/2, W/2, 12, N*V]:
+        host-side numpy packing, byte-identical to the native loader's
+        `s2d=True, hwcn=True` output.
+    """
+
+    infer: Callable
+    params: Any
+    prepare: Callable
+    views: int
+    flip_test: bool
+
+
+def pack_hwcn(images: np.ndarray) -> np.ndarray:
+    """[N, H, W, 3] uint8 -> [H/2, W/2, 12, N] space-to-depth packed,
+    batch-minor — the serving input contract (numpy mirror of
+    native.load_warp_batch_geom(s2d=True, hwcn=True), byte-identical:
+    tests/test_serving.py)."""
+    n, h, w, c = images.shape
+    x = images.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(1, 3, 2, 4, 5, 0)  # [H/2, W/2, 2, 2, C, N]
+    return np.ascontiguousarray(x.reshape(h // 2, w // 2, 4 * c, n))
+
+
+def build_serving_pipeline(
+    cfg,
+    variables,
+    calib_batches,
+    *,
+    flip_test: bool = False,
+    views: int = 4,
+    subpixel_deconvs={"deconv0"},
+    flip_pairs=None,
+    interpret: bool = False,
+) -> ServingPipeline:
+    """Quantize a MultiViewPose ``variables`` tree into the adopted int8
+    serving pipeline.
+
+    cfg: the reference-schema config (NETWORK.IMAGE_SIZE/HEATMAP_SIZE,
+    DATASET.MEAN/STD, NETWORK.AGGRE). variables: MultiViewPose variables
+    (params/batch_stats with a ``resnet`` subtree and, when AGGRE, an
+    ``aggre_layer`` bank). calib_batches: iterable of [N, H, W, 3]
+    normalised float batches for PTQ calibration.
+
+    ``subpixel_deconvs``: deconv names quantized in the per-phase subpixel
+    form (finer per-phase weight scales — approximate vs the dilated int8
+    path, PCKh-delta measured zero; pass False for the bit-exact-vs-NHWC
+    config). ``interpret``: run the Pallas kernels in interpret mode (CPU
+    tests)."""
+    from posetpu.core.inference import (
+        final_preds_packed,
+        flip_test_merge_packed,
+        fuse_routing_jns,
+    )
+    from posetpu.data.base import union_flip_pairs
+    from posetpu.models import get_pose_net
+    from posetpu.models.quant import (
+        aggregation_int8_apply_jns_grouped,
+        make_u8_quant,
+        mirror_s2d_hwcn,
+        permute_aggregation_packed,
+        quantize_aggregation_grouped,
+        quantize_pose_resnet,
+    )
+    from posetpu.ops.heatmap import phase_index_tables
+
+    hm_h, hm_w = int(cfg.NETWORK.HEATMAP_SIZE[1]), int(cfg.NETWORK.HEATMAP_SIZE[0])
+    resnet = get_pose_net(cfg, dtype=jnp.float32)
+    res_vars = {
+        "params": variables["params"]["resnet"],
+        "batch_stats": variables["batch_stats"]["resnet"],
+    }
+    qparams, qfwd = quantize_pose_resnet(
+        resnet, res_vars, calib_batches,
+        jns_head="phase",
+        phase_kernel="interpret2" if interpret else 2,
+        subpixel_deconvs=subpixel_deconvs,
+        stem_s2d="pre",
+    )
+    tables = phase_index_tables((hm_h, hm_w), levels=2)
+
+    qagg = None
+    if bool(cfg.NETWORK.AGGRE) and "aggre_layer" in variables["params"]:
+        bank = variables["params"]["aggre_layer"]["weight"]
+        qagg = permute_aggregation_packed(
+            quantize_aggregation_grouped(bank), tables)
+
+    u8_quant, _ = make_u8_quant(qparams, cfg.DATASET.MEAN, cfg.DATASET.STD)
+    pairs = tuple(tuple(p) for p in (flip_pairs or union_flip_pairs()))
+    params = {"q": qparams, "qagg": qagg}
+
+    @jax.jit
+    def infer(params, x, center, scale, is_h36m):
+        if flip_test:
+            x = jnp.concatenate([x, mirror_s2d_hwcn(x)], axis=3)
+        flat = jnp.transpose(x, (3, 0, 1, 2))  # layout-free: bytes already N-minor
+        hm = qfwd(params["q"], u8_quant(flat))  # [J, N*V(*2), S] packed
+        if flip_test:
+            hm, hm_f = jnp.split(hm, 2, axis=1)
+            hm = flip_test_merge_packed(hm, hm_f, pairs, (hm_h, hm_w),
+                                        levels=tables["levels"])
+        n = hm.shape[1] // views
+        raw = hm.reshape(hm.shape[0], n, views, hm.shape[-1])
+        if params["qagg"] is not None:
+            fused = aggregation_int8_apply_jns_grouped(params["qagg"], raw)
+            out = fuse_routing_jns(raw, fused, is_h36m)
+        else:
+            out = raw
+        return final_preds_packed(out, center, scale, (hm_h, hm_w), tables)
+
+    def prepare(images: np.ndarray) -> np.ndarray:
+        n, v, h, w, c = images.shape
+        return pack_hwcn(images.reshape(n * v, h, w, c))
+
+    return ServingPipeline(infer=infer, params=params, prepare=prepare,
+                           views=views, flip_test=flip_test)

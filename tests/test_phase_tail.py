@@ -153,6 +153,50 @@ def test_mirror_s2d_matches_mirror_then_pack(rng):
         np.asarray(mirror_s2d(packed)), np.asarray(_s2d(x[:, :, ::-1, :])))
 
 
+def test_mirror_s2d_hwcn_matches_mirror_s2d(rng):
+    """Batch-minor twin: mirror_s2d_hwcn on the (H, W, C, N)-transposed pack
+    equals mirror_s2d on the [N, H, W, C] pack, transposed."""
+    from posetpu.models.quant import _s2d, mirror_s2d, mirror_s2d_hwcn
+
+    x = jnp.asarray(rng.randint(0, 256, (3, 8, 12, 3)).astype(np.uint8))
+    packed = _s2d(x)  # [N, 4, 6, 12]
+    hwcn = jnp.transpose(packed, (1, 2, 3, 0))
+    np.testing.assert_array_equal(
+        np.asarray(mirror_s2d_hwcn(hwcn)),
+        np.asarray(jnp.transpose(mirror_s2d(packed), (1, 2, 3, 0))))
+
+
+def test_native_loader_hwcn_output(rng, tmp_path):
+    """load_warp_batch_geom(s2d=True, hwcn=True) returns exactly the
+    batch-minor transpose of the s2d output — the (H, W, C, N) serving
+    input contract (bench input_layout='hwcn', PERF.md win #10)."""
+    import cv2
+
+    from posetpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native loader unavailable")
+    imgs, paths = [], []
+    for i in range(3):
+        img = (rng.rand(64, 80, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"img{i}.jpg")
+        cv2.imwrite(p, img)
+        imgs.append(img)
+        paths.append(p)
+    geom = np.array([[40, 32, 48, 0, 0]] * 3, np.float32)
+    geom[1, 3] = 20.0  # one rotated record
+    geom[2, 4] = 1.0   # one flipped record
+    packed, w1, f1 = native.load_warp_batch_geom(
+        paths, [""] * 3, geom, 32, 32, s2d=True)
+    hwcn, w2, f2 = native.load_warp_batch_geom(
+        paths, [""] * 3, geom, 32, 32, s2d=True, hwcn=True)
+    assert f1 == 0 and f2 == 0
+    assert hwcn.shape == (16, 16, 12, 3)
+    np.testing.assert_array_equal(hwcn, packed.transpose(1, 2, 3, 0))
+
+
 def test_native_loader_s2d_output(rng, tmp_path):
     """native.load_warp_batch_geom(s2d=True) returns exactly the space-to-
     depth pack of its plain output (serving input contract for

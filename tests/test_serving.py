@@ -1,0 +1,128 @@
+"""posetpu.serving — the packaged int8 serving pipeline.
+
+Checks the public builder reproduces the ablation-verified path exactly:
+the packed-input + phase-tail + grouped-aggregation pipeline's PREDICTIONS
+equal a hand-assembled jns-tail int8 pipeline bit-for-bit (the phase tail is
+an exact re-indexing of the jns tail; the grouped aggregation is shared),
+and the host-side packing helper is byte-identical to the native loader's
+hwcn contract. Pallas kernels run in interpret mode (CPU mesh)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from posetpu.config import default_config  # noqa: E402
+from posetpu.serving import build_serving_pipeline, pack_hwcn  # noqa: E402
+from tests.test_quant import _trained_like_variables  # noqa: E402
+
+
+def _small_cfg():
+    cfg = default_config()
+    cfg.POSE_RESNET.NUM_LAYERS = 18
+    cfg.NETWORK.IMAGE_SIZE = np.array([64, 64])
+    cfg.NETWORK.HEATMAP_SIZE = np.array([16, 16])
+    cfg.NETWORK.AGGRE = True
+    return cfg
+
+
+def _mv_variables(rng):
+    model, res_vars = _trained_like_variables(rng)
+    bank = jnp.asarray(0.01 * rng.randn(12, 256, 256).astype(np.float32)
+                       + np.eye(256, dtype=np.float32))
+    return {
+        "params": {"resnet": res_vars["params"],
+                   "aggre_layer": {"weight": bank}},
+        "batch_stats": {"resnet": res_vars["batch_stats"]},
+    }, bank
+
+
+def test_pack_hwcn_matches_s2d_transpose(rng):
+    """pack_hwcn == _s2d + batch-minor transpose — the exact byte order the
+    native loader's (s2d=True, hwcn=True) mode writes (whose equality to
+    _s2d is covered by tests/test_phase_tail.py)."""
+    from posetpu.models.quant import _s2d
+
+    x = rng.randint(0, 256, (3, 8, 12, 3)).astype(np.uint8)
+    ref = np.asarray(_s2d(jnp.asarray(x))).transpose(1, 2, 3, 0)
+    np.testing.assert_array_equal(pack_hwcn(x), ref)
+
+
+def test_serving_preds_match_jns_reference(rng):
+    """build_serving_pipeline (packed input, fused phase tail, grouped int8
+    aggregation, fuse routing, packed decode) returns EXACTLY the preds of
+    the same quantization driven through the jns-tail ops by hand."""
+    from posetpu.core.inference import final_preds_jns, fuse_routing_jns
+    from posetpu.models.quant import (
+        aggregation_int8_apply_jns_grouped,
+        make_u8_quant,
+        quantize_aggregation_grouped,
+        quantize_pose_resnet,
+    )
+
+    cfg = _small_cfg()
+    variables, bank = _mv_variables(rng)
+    calib = [rng.randn(2, 64, 64, 3).astype(np.float32)]
+
+    pipe = build_serving_pipeline(cfg, variables, calib,
+                                  subpixel_deconvs=False, interpret=True)
+
+    n, v = 2, 4
+    images = rng.randint(0, 256, (n, v, 64, 64, 3)).astype(np.uint8)
+    center = jnp.asarray(100 + 50 * rng.rand(n, v, 2).astype(np.float32))
+    scale = jnp.asarray(1 + rng.rand(n, v, 2).astype(np.float32))
+    is_h36m = jnp.asarray([1.0, 0.0], jnp.float32)
+
+    preds, maxvals = pipe.infer(pipe.params, jnp.asarray(pipe.prepare(images)),
+                                center, scale, is_h36m)
+
+    # reference: same calibration, jns head, no s2d, same grouped aggregation
+    from posetpu.models import get_pose_net
+
+    resnet = get_pose_net(cfg, dtype=jnp.float32)
+    res_vars = {"params": variables["params"]["resnet"],
+                "batch_stats": variables["batch_stats"]["resnet"]}
+    qparams, qfwd = quantize_pose_resnet(resnet, res_vars, calib,
+                                         jns_head=True)
+    u8q, _ = make_u8_quant(qparams, cfg.DATASET.MEAN, cfg.DATASET.STD)
+    flat = jnp.asarray(images.reshape(n * v, 64, 64, 3))
+    hm = qfwd(qparams, u8q(flat))  # [J, N*V, S] rowmajor
+    raw = hm.reshape(hm.shape[0], n, v, hm.shape[-1])
+    qagg = quantize_aggregation_grouped(bank)
+    fused = aggregation_int8_apply_jns_grouped(qagg, raw)
+    out = fuse_routing_jns(raw, fused, is_h36m)
+    ref_preds, ref_maxvals = final_preds_jns(out, center, scale, (16, 16))
+
+    # Piecewise (stage-by-stage jits) the two paths are bit-identical —
+    # verified during development: int8 inputs, trunk heatmaps, aggregation
+    # and routing all assert_array_equal across the packings. Inside
+    # pipe.infer's SINGLE jit, XLA may contract the routing lerp into FMAs
+    # (legal f32 reassociation), so the end-to-end comparison tolerates the
+    # last ulp (~2^-16 at heatmap magnitudes) instead of exact equality.
+    np.testing.assert_allclose(np.asarray(maxvals), np.asarray(ref_maxvals),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(preds), np.asarray(ref_preds),
+                               atol=1e-4)
+    assert float(jnp.std(maxvals)) > 0  # non-degenerate
+
+
+def test_serving_flip_test_and_defaults_smoke(rng):
+    """The adopted config (subpixel deconv0) + flip test runs end to end and
+    returns the right shapes; flip merging changes the heatmap maxima."""
+    cfg = _small_cfg()
+    variables, _ = _mv_variables(rng)
+    calib = [rng.randn(2, 64, 64, 3).astype(np.float32)]
+    pipe = build_serving_pipeline(cfg, variables, calib, flip_test=True,
+                                  interpret=True)
+    n, v = 1, 4
+    images = rng.randint(0, 256, (n, v, 64, 64, 3)).astype(np.uint8)
+    center = jnp.full((n, v, 2), 100.0, jnp.float32)
+    scale = jnp.ones((n, v, 2), jnp.float32)
+    preds, maxvals = pipe.infer(pipe.params,
+                                jnp.asarray(pipe.prepare(images)),
+                                center, scale, jnp.ones((n,), jnp.float32))
+    assert preds.shape == (n, v, 16, 2) and maxvals.shape == (n, v, 16)
+    assert np.isfinite(np.asarray(preds)).all()
