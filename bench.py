@@ -94,7 +94,16 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
         )
 
         qagg = quantize_aggregation_grouped(aggre_vars["params"]["weight"])
-        apply_jns = aggregation_int8_apply_jns_grouped
+        if grouped_aggre == "pallas":
+            # weight-stream-floor Pallas kernel (no gathered operand);
+            # bit-exact vs the XLA grouped dot (test_aggregation_kernel.py)
+            from posetpu.ops.pallas.aggregation import (
+                aggregation_grouped_pallas,
+            )
+
+            apply_jns = aggregation_grouped_pallas
+        else:
+            apply_jns = aggregation_int8_apply_jns_grouped
     else:
         qagg = quantize_aggregation(aggre_vars["params"]["weight"])
         apply_jns = aggregation_int8_apply_jns

@@ -1,0 +1,111 @@
+"""Pallas TPU kernel: grouped int8 aggregation fusion, weight-stream bound.
+
+The cross-view aggregation (reference: the 12 ChannelWiseFC matmuls of
+lib/models/multiview_pose_resnet.py:16-58) is served as the grouped int8
+dot of quant.aggregation_int8_apply_jns_grouped: for each target view t,
+fused[t] = (1/3) * sum_p  x[src(t, p)] @ wq[t, p]  over its 3 source
+views, with the [4, 3, S, S] int8 bank (201 MB at S=4096) streamed from
+HBM once per step. XLA runs the chain as quantize -> gather (materialises
+a 3x-duplicated [4, J*N, 3, S] int8 operand) -> batched dot, ~1.7x over
+the stream floor (device trace: fusion.542, PERF.md).
+
+This kernel removes the gathered operand and hits the stream floor:
+
+  - the quantized heatmaps xq [V, J*N, S] int8 stay in HBM (ANY memory);
+    each target's 3 source planes are DMAd into VMEM scratch ONCE per
+    target (at the first S-block step) — 24 MB total instead of a 25 MB
+    materialised gather plus its re-read;
+  - the weight bank streams through the normal Pallas pipeline in
+    [3, S, BS] blocks, double-buffered, overlapping the MXU dots;
+  - the 3-source mean stays folded in the MXU accumulator (int32-exact),
+    and the epilogue applies the same single pre-folded f32 scale
+    ((x_scale/3) * w_scale) as the XLA path — bit-exact
+    (tests/test_aggregation_kernel.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _agg_kernel(x_hbm, w_ref, sv_ref, out_ref, xs0, xs1, xs2, sem,
+                *, n_jb: int, jn: int, s: int, interpret: bool):
+    """Grid (t, jb), jb fastest. x_hbm [V, JN, S] int8 (ANY); w_ref
+    [1, 3, S, BS] int8 (target t's bank, S-block jb); sv_ref [1, BS] f32
+    (pre-folded (x_scale/3)*w_scale block); out_ref [1, JN, BS] f32;
+    xs0..xs2 [JN, S] int8 VMEM scratch (the 3 source planes, persistent
+    across the S-block steps of one target); sem DMA semaphores [3]."""
+    t = pl.program_id(0)
+    jb = pl.program_id(1)
+    scratch = (xs0, xs1, xs2)
+
+    @pl.when(jb == 0)
+    def _load_sources():
+        # source views of target t: {0..3} \ {t} in ascending order
+        for p in range(3):
+            sv = jnp.where(t > p, p, p + 1)
+            copy = pltpu.make_async_copy(x_hbm.at[sv], scratch[p], sem.at[p])
+            copy.start()
+        for p in range(3):
+            sv = jnp.where(t > p, p, p + 1)
+            pltpu.make_async_copy(x_hbm.at[sv], scratch[p], sem.at[p]).wait()
+
+    acc = jnp.zeros((jn, out_ref.shape[-1]), jnp.int32)
+    for p in range(3):
+        acc += jax.lax.dot_general(
+            scratch[p][:], w_ref[0, p],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    out_ref[0] = acc.astype(jnp.float32) * sv_ref[0][None, :]
+
+
+def aggregation_grouped_pallas(qagg, hm, *, block_s: int = 256,
+                               interpret: bool = False):
+    """Drop-in twin of quant.aggregation_int8_apply_jns_grouped: hm
+    [J, N, V, S] f32 -> fused [J, N, V, S] f32, grouped int8 bank ``qagg``
+    (wq [4, 3, S, S], w_scale [4, 1, S], x_scale) — bit-exact vs the XLA
+    path (same int8 products, int32-exact pair sum, identical single f32
+    epilogue multiply)."""
+    j, n, v, s = hm.shape
+    assert v == 4
+    jn = j * n
+    # quantize on the XLA side (one elementwise fusion; the kernel reads
+    # the int8 planes straight from HBM — no gathered operand)
+    xq8 = jnp.clip(
+        jnp.round(hm * (1.0 / qagg["x_scale"])), -127, 127
+    ).astype(jnp.int8)
+    xq = jnp.moveaxis(xq8, 2, 0).reshape(v, jn, s)  # major-only permute
+    # pre-folded epilogue scale, identical rounding to the XLA path's
+    # ((x_scale/3) * w_scale) broadcast multiply
+    sv = ((qagg["x_scale"] / 3.0) * qagg["w_scale"]).reshape(4, s)
+
+    n_jb = s // block_s
+    y = pl.pallas_call(
+        partial(_agg_kernel, n_jb=n_jb, jn=jn, s=s, interpret=interpret),
+        grid=(4, n_jb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 3, s, block_s), lambda t, jb: (t, 0, 0, jb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_s), lambda t, jb: (t, jb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, jn, block_s), lambda t, jb: (t, 0, jb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, jn, s), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((jn, s), jnp.int8),
+            pltpu.VMEM((jn, s), jnp.int8),
+            pltpu.VMEM((jn, s), jnp.int8),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(xq, qagg["wq"], sv)
+    fused = y.reshape(v, j, n, s)
+    return jnp.moveaxis(fused, 0, 2).astype(hm.dtype)  # [J, N, V, S]

@@ -56,6 +56,15 @@ SUBPIX_BATCHED = True
 # (tests/test_phase_kernel.py); kept off.
 TAIL2_BATCH_D1 = False
 
+# Share shifted/concatenated dot operands across (phase, tap) combos.
+# The 16 deconv2 (phase, tap) pairs index only 9 distinct shifted
+# operands (the shift is u-(1-a), v-(1-b) — a difference, not a pair),
+# and likewise deconv1; without sharing, the kernel re-rolls, re-masks
+# and re-concatenates the same int8 matrices up to 4x. The dots, their
+# tap order and the int32 accumulation are unchanged — bit-exact
+# (tests/test_phase_kernel.py covers both settings).
+TAIL2_SHARE_OPS = True
+
 
 def _make_shift_helpers(hw: int, w: int, cin: int, interpret: bool,
                         nimg: int = 1):
@@ -231,6 +240,7 @@ def _phase_tail2_kernel(
     vh_ref, out_ref, z1_s, z2_s,
     *, nb: int, h: int, w: int, cin: int, cmid: int, cout: int,
     joints: int, interpret: bool, batch_d1: bool = False,
+    share_ops: bool = False,
 ):
     """Two-level fused tail: deconv1's four phase planes AND deconv2's
     phase convs AND the 1x1 head, all in one VMEM pass per image — the
@@ -284,13 +294,21 @@ def _phase_tail2_kernel(
     def one_image(n, _):
         if not batch_d1:
             xc = col_variants(x_ref[n])
+            xv1 = {}  # (sr, sc) -> shifted operand; 16 (phase, tap) combos
+                      # index only 9 distinct shifts
+
+            def xvar1(sr, sc):
+                if (sr, sc) not in xv1 or not share_ops:
+                    xv1[(sr, sc)] = row_shift(xc[sc], sr)
+                return xv1[(sr, sc)]
+
             # deconv1: four phase planes, requantized (bit-exact vs the
             # dilated-conv + requant XLA path)
             for g, (a, b) in enumerate(phases):
                 acc = jnp.zeros((hw, cmid), jnp.int32)
                 for t, (u, v) in enumerate(phases):
                     acc += jax.lax.dot_general(
-                        row_shift(xc[v - (1 - b)], u - (1 - a)), w1_ref[g, t],
+                        xvar1(u - (1 - a), v - (1 - b)), w1_ref[g, t],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
@@ -312,20 +330,34 @@ def _phase_tail2_kernel(
 
         # deconv2 phases, split by the parity of the virtual position; the
         # four parity variants CONCATENATE into one M=4*hw dot per tap
-        # (separate M=hw dots per parity measured the kernel MXU-underfed)
+        # (separate M=hw dots per parity measured the kernel MXU-underfed).
+        # The operand depends on (phase, tap) only through the DIFFERENCE
+        # (u-(1-a2), v-(1-b2)) — 9 distinct operands for 16 dots; memoised
+        # when share_ops (xop), as are the underlying plane shifts (var2).
+        v2cache, xcache = {}, {}
+
+        def var2(pa, pb, cs, rs):
+            k = (pa, pb, cs, rs)
+            if k not in v2cache or not share_ops:
+                v2cache[k] = row_shift2(pv[(pa, pb)][cs], rs)
+            return v2cache[k]
+
+        def xop(sr, sc):
+            if (sr, sc) not in xcache or not share_ops:
+                parts = []
+                for par, (al, be) in enumerate(phases):
+                    ra, rc = al + sr, be + sc
+                    pa, pb = ra & 1, rc & 1
+                    parts.append(var2(pa, pb, (rc - pb) // 2,
+                                      (ra - pa) // 2))
+                xcache[(sr, sc)] = jnp.concatenate(parts, axis=0)
+            return xcache[(sr, sc)]
+
         for g2, (a2, b2) in enumerate(phases):
             acc = jnp.zeros((4 * hw, cout), jnp.int32)
             for t, (u, v) in enumerate(phases):
-                parts = []
-                for par, (al, be) in enumerate(phases):
-                    ra = al + u - (1 - a2)
-                    rc = be + v - (1 - b2)
-                    pa, pb = ra & 1, rc & 1
-                    parts.append(
-                        row_shift2(pv[(pa, pb)][(rc - pb) // 2],
-                                   (ra - pa) // 2))
                 acc += jax.lax.dot_general(
-                    jnp.concatenate(parts, axis=0), w2_ref[g2, t],
+                    xop(u - (1 - a2), v - (1 - b2)), w2_ref[g2, t],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
@@ -379,7 +411,7 @@ def fused_phase_tail2(x, args, *, h: int, w: int, interpret: bool = False):
     out = pl.pallas_call(
         partial(_phase_tail2_kernel, nb=nb, h=h, w=w, cin=cin, cmid=cmid,
                 cout=cout, joints=joints, interpret=interpret,
-                batch_d1=batch_d1),
+                batch_d1=batch_d1, share_ops=TAIL2_SHARE_OPS),
         grid=(n // nb,),
         in_specs=[
             pl.BlockSpec((nb, hw, cin), lambda i: (i, 0, 0),
@@ -551,11 +583,18 @@ def _subpixel_deconv_kernel_batched(
 
     xall = x_ref[:].reshape(nb * hw, cin)
     xc = col_variants(xall)
+    xv = {}  # 16 (phase, tap) combos index only 9 distinct (sr, sc) shifts
+
+    def xvar(sr, sc):
+        if (sr, sc) not in xv or not TAIL2_SHARE_OPS:
+            xv[(sr, sc)] = row_shift(xc[sc], sr)
+        return xv[(sr, sc)]
+
     for g, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
         acc = jnp.zeros((nb * hw, cout), jnp.int32)
         for t, (u, v) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
             acc += jax.lax.dot_general(
-                row_shift(xc[v - (1 - b)], u - (1 - a)), w_ref[g, t],
+                xvar(u - (1 - a), v - (1 - b)), w_ref[g, t],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )

@@ -27,7 +27,8 @@ def main():
     # the adopted serving config (keep in sync with bench.main's int8 build)
     qpipe, qparams, qx = bench._build_int8(batch, subpixel_deconvs={"deconv0"},
                                            phase_kernel=2,
-                                           grouped_aggre=True, stem_s2d="pre")
+                                           grouped_aggre=True, stem_s2d="pre",
+                                           input_layout="hwcn")
     _ = float(qpipe(qparams, qx))  # compile + warm
 
     os.system(f"rm -rf {logdir}")
