@@ -16,12 +16,59 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_FPS = 5000.0  # /root/repo/BASELINE.json north star
 LOOP_INSIDE = 10  # pipeline steps per host fetch (amortises tunnel RTT)
+
+# Wall-clock budget (s) for the SECONDARY variants: the headline is always
+# measured and printed first (the driver kills the whole run at ~600 s, and
+# backend init through the remote tunnel alone costs 60-340 s — measured
+# 2026-08-20 — so a partial run must still leave a parsed headline line).
+BENCH_BUDGET_S = float(os.environ.get("POSETPU_BENCH_BUDGET", "420"))
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache, committed to the repo and prewarmed
+    (round-2 failure: BENCH_r02.json rc=124 — three cold pipeline compiles
+    through the tunnel exceed the driver's timeout; with the cache warm each
+    compile is a ~0.2 s cache read, verified on the axon backend)."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def _built_on_cpu(build, *args, **kwargs):
+    """Run a pipeline BUILD on the host CPU backend, then move its params
+    and example input to the TPU.
+
+    The builds are dominated by eager work (Flax init, PTQ calibration
+    sweeps) where every op is its own remote compile through the tunnel —
+    measured: the serving build alone sat >10 min in eager dispatch. On the
+    CPU backend the same work is seconds, and the only TPU compile left is
+    the jitted pipeline itself (one cache entry, prewarmed). Calibration
+    constants are deterministic (PRNGKey(0) input, CPU f32), so the
+    resulting HLO — and its cache key — is stable across runs."""
+    import jax
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is None:
+        return build(*args, **kwargs)
+    with jax.default_device(cpu):
+        pipeline, params, x = build(*args, **kwargs)
+    dev = jax.devices()[0]
+    params, x = jax.device_put((params, x), dev)
+    return pipeline, params, x
 
 
 def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
@@ -364,52 +411,53 @@ def _measure(pipeline, params, x, batch, rtt, reps=4):
 
 
 def main():
+    t_start = time.time()
+    _enable_compile_cache()
     rtt = _tunnel_rtt()
+    batch = 32
     results = {}
-    for batch in (32,):
-        pipeline, variables, x = _build(batch)
-        results["bf16_fused"] = max(
-            results.get("bf16_fused", 0.0), _measure(pipeline, variables, x, batch, rtt)
-        )
-        # adopted serving config (PERF.md wins #5/#6/#9/#10): phase-PACKED
-        # tail + per-name subpixel deconv0 + fused Pallas phase/deconv
-        # kernels (two-level fold: deconv1+deconv2+head in one kernel) +
-        # grouped (fused-mean) int8 aggregation + batch-minor pre-packed
-        # space-to-depth input (the native loader writes warp pixels at
-        # (h, w, c, n)-interleaved s2d addresses for free — load_warp_batch_
-        # geom(s2d=True, hwcn=True); the u8 affine then emits the stem
-        # conv's preferred N-minor layout with no input retile; flip-test
-        # uses the packed W-mirror — tests/test_phase_tail.py)
-        qpipe, qparams, qx = _build_int8(batch, subpixel_deconvs={"deconv0"},
-                                         phase_kernel=2, grouped_aggre=True,
-                                         stem_s2d="pre", input_layout="hwcn")
-        results["int8"] = max(
-            results.get("int8", 0.0), _measure(qpipe, qparams, qx, batch, rtt)
-        )
-        fpipe, fparams, fx = _build_int8(batch, flip_test=True,
-                                         subpixel_deconvs={"deconv0"},
-                                         phase_kernel=2, grouped_aggre=True,
-                                         stem_s2d="pre", input_layout="hwcn")
-        results["int8_flip"] = max(
-            results.get("int8_flip", 0.0),
-            _measure(fpipe, fparams, fx, batch, rtt),
-        )
-    best_fps = max(results["bf16_fused"], results["int8"])
-    print(
-        json.dumps(
-            {
-                "metric": "4-view frames/s/chip (ResNet-50 heatmap+fusion+decode+triangulation, int8 serving path)",
-                "value": round(best_fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(best_fps / BASELINE_FPS, 3),
-                "batch": 32,
-                "bf16_fused_fps": round(results["bf16_fused"], 1),
-                "int8_fps": round(results["int8"], 1),
-                "int8_flip_test_fps": round(results["int8_flip"], 1),
-                "tunnel_rtt_ms": round(rtt * 1e3, 1),
-            }
-        )
-    )
+
+    def emit():
+        # Each emitted line is a COMPLETE record of everything measured so
+        # far; the driver parses the LAST JSON line of the tail, so a run
+        # killed after the first emit still leaves a valid headline.
+        best_fps = max(results.get("int8", 0.0),
+                       results.get("bf16_fused", 0.0))
+        rec = {
+            "metric": "4-view frames/s/chip (ResNet-50 heatmap+fusion+decode+triangulation, int8 serving path)",
+            "value": round(best_fps, 1),
+            "unit": "frames/s",
+            "vs_baseline": round(best_fps / BASELINE_FPS, 3),
+            "batch": batch,
+            "int8_fps": round(results.get("int8", 0.0), 1),
+            "tunnel_rtt_ms": round(rtt * 1e3, 1),
+            "elapsed_s": round(time.time() - t_start, 1),
+        }
+        if "int8_flip" in results:
+            rec["int8_flip_test_fps"] = round(results["int8_flip"], 1)
+        if "bf16_fused" in results:
+            rec["bf16_fused_fps"] = round(results["bf16_fused"], 1)
+        print(json.dumps(rec), flush=True)
+
+    # HEADLINE FIRST, through the PUBLIC package API
+    # (posetpu.serving.build_serving_pipeline — the adopted config, PERF.md
+    # wins #5-#10; _build_int8 stays as the ablation harness for
+    # tools/ab_*.py, measured identical by tools/ab_serving.py).
+    pipeline, params, x = _built_on_cpu(_build_serving, batch)
+    results["int8"] = _measure(pipeline, params, x, batch, rtt)
+    emit()
+
+    # Secondary variants, time-boxed: flip-test protocol first (the
+    # reference's validation protocol), bf16 last.
+    if time.time() - t_start < BENCH_BUDGET_S:
+        fpipe, fparams, fx = _built_on_cpu(_build_serving, batch,
+                                           flip_test=True)
+        results["int8_flip"] = _measure(fpipe, fparams, fx, batch, rtt)
+        emit()
+    if time.time() - t_start < BENCH_BUDGET_S:
+        bpipe, bvars, bx = _built_on_cpu(_build, batch)
+        results["bf16_fused"] = _measure(bpipe, bvars, bx, batch, rtt)
+        emit()
 
 
 if __name__ == "__main__":

@@ -5,11 +5,19 @@ lib/models/multiview_pose_resnet.py:16-58) is served as the grouped int8
 dot of quant.aggregation_int8_apply_jns_grouped: for each target view t,
 fused[t] = (1/3) * sum_p  x[src(t, p)] @ wq[t, p]  over its 3 source
 views, with the [4, 3, S, S] int8 bank (201 MB at S=4096) streamed from
-HBM once per step. XLA runs the chain as quantize -> gather (materialises
-a 3x-duplicated [4, J*N, 3, S] int8 operand) -> batched dot, ~1.7x over
-the stream floor (device trace: fusion.542, PERF.md).
+HBM once per step.
 
-This kernel removes the gathered operand and hits the stream floor:
+STATUS: NOT adopted. PERF.md's corrected roofline (commit aa5d6f2) shows
+the XLA grouped dot is MXU-COMPUTE-bound, not stream-bound: 0.61 ms
+measured vs a 0.56 ms int8 compute peak for its 103 GMAC — the earlier
+"~1.7x over the weight-stream floor" framing double-counted the gather.
+There is no traffic win left for a kernel to harvest; bench.main and
+posetpu.serving keep the XLA grouped dot
+(quant.aggregation_int8_apply_jns_grouped). The kernel remains as the
+measured alternative (A/B receipt in PERF.md "Measured and rejected"),
+reachable via bench._build_int8(grouped_aggre="pallas").
+
+What the kernel does (if revisited on hardware where the balance differs):
 
   - the quantized heatmaps xq [V, J*N, S] int8 stay in HBM (ANY memory);
     each target's 3 source planes are DMAd into VMEM scratch ONCE per
@@ -75,6 +83,10 @@ def aggregation_grouped_pallas(qagg, hm, *, block_s: int = 256,
     j, n, v, s = hm.shape
     assert v == 4
     jn = j * n
+    # the grid only visits s // block_s output column blocks: a ragged S
+    # would silently leave the trailing columns uninitialised
+    assert s % block_s == 0, (s, block_s)
+    assert jn > 0
     # quantize on the XLA side (one elementwise fusion; the kernel reads
     # the int8 planes straight from HBM — no gathered operand)
     xq8 = jnp.clip(

@@ -68,6 +68,20 @@ def test_phase_tail2_bitexact_vs_xla_phase_tail(rng):
     finally:
         pt.TAIL2_BATCH_D1 = old
 
+    # the operand-sharing flag (TAIL2_SHARE_OPS, adopted True) is also
+    # bit-exact with sharing off — same dots/tap order/int32 accumulation,
+    # just re-built shifted operands
+    old = pt.TAIL2_SHARE_OPS
+    pt.TAIL2_SHARE_OPS = False
+    try:
+        qparams_s, fwd_s = quantize_pose_resnet(model, variables, calib,
+                                                jns_head="phase",
+                                                phase_kernel="interpret2")
+        got_s = np.asarray(fwd_s(qparams_s, x))[..., t2["packed"]]
+        np.testing.assert_array_equal(got_s, ref)
+    finally:
+        pt.TAIL2_SHARE_OPS = old
+
 
 def test_two_level_packed_ops_match_rowmajor(rng):
     """levels=2 tables are a true packing (decode/flip/shift twins all

@@ -22,11 +22,17 @@ def main():
     print(f"tunnel rtt {rtt*1e3:.1f} ms", flush=True)
     kw = dict(subpixel_deconvs={"deconv0"}, phase_kernel=2,
               grouped_aggre=True, stem_s2d="pre", input_layout="hwcn")
-    for share in (False, True):
-        pt.TAIL2_SHARE_OPS = share
-        pipe, params, x = bench._build_int8(batch, **kw)
-        fps = bench._measure(pipe, params, x, batch, rtt)
-        print(f"share_ops={share}: {fps:.1f} 4-view frames/s", flush=True)
+    saved = pt.TAIL2_SHARE_OPS
+    try:
+        for share in (False, True):
+            # trace-time capture: the global must be set BEFORE the build
+            # (and restored after — a later build must not inherit it)
+            pt.TAIL2_SHARE_OPS = share
+            pipe, params, x = bench._build_int8(batch, **kw)
+            fps = bench._measure(pipe, params, x, batch, rtt)
+            print(f"share_ops={share}: {fps:.1f} 4-view frames/s", flush=True)
+    finally:
+        pt.TAIL2_SHARE_OPS = saved
 
 
 if __name__ == "__main__":

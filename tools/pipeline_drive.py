@@ -29,30 +29,53 @@ import numpy as np
 
 from tools.int8_accuracy import CFG_YAML, build_fixture
 
-N_MPII = 128  # flat images -> 32 fake 4-view groups
+N_MPII = 512  # flat images -> 128 fake 4-view groups
 
 
-def build_mpii_fixture(root: str, seed: int = 11) -> None:
-    """MPII-format blob fixture: same rendering as the h36m fixture
-    (tools/int8_accuracy.py) so the 2D detector transfers across sources."""
+def build_mpii_fixture(root: str, seed: int = 11, n_mpii: int = N_MPII) -> None:
+    """MPII-format blob fixture: same renderer and blob colors as the h36m
+    fixture (tools/int8_accuracy.py) so the 2D detector transfers across
+    sources.
+
+    Round-3 change (VERDICT #5): images are rendered from RANDOM
+    PERSPECTIVE viewpoints with ring-like geometry (random azimuth,
+    jittered radius/height, same focal scale as the h36m fixture's
+    cameras), replacing the round-2 orthographic TOP view (`pts[:, :2]`
+    with z vertical looks straight down). MPII-the-dataset is in-the-wild
+    and view-diverse; the top-view-only fixture trained a detector whose
+    2D joint statistics never matched the horizontal ring views of the
+    h36m fixture — the measured 0.335 transfer ceiling. View-matched
+    rendering is what the real datasets actually share."""
     from posetpu.data.synthetic import make_skeleton_poses
 
     img_w = img_h = 256
     rng = np.random.RandomState(seed)
-    # reuse the skeleton generator: project with a fixed scaled orthographic
-    # map so the 16 joints land inside the frame like a cropped person
-    poses = np.asarray(make_skeleton_poses(N_MPII, seed=seed))  # [N, 16, 3] mm
+    poses = np.asarray(make_skeleton_poses(n_mpii, seed=seed))  # [N, 16, 3] mm
+    poses[..., 2] -= 1000.0  # stand on the ring's look-at point (cf. h36m fixture)
     colors = [(int(80 + 10 * (j + 1)), int(255 - 9 * (j + 1)),
                int(40 + 12 * (j + 1))) for j in range(16)]
 
     os.makedirs(os.path.join(root, "mpii", "images"), exist_ok=True)
     os.makedirs(os.path.join(root, "mpii", "annot"), exist_ok=True)
     annos = []
-    for i in range(N_MPII):
-        pts = poses[i, :, :2]  # frontal orthographic view
-        span = max(pts.max(0) - pts.min(0)) + 1e-3
-        pix = (pts - pts.min(0)) / span * (img_w * 0.7) + img_w * 0.15
-        pix += rng.uniform(-8, 8, size=(1, 2))
+    for i in range(n_mpii):
+        # random ring-like viewpoint (same look-at construction as
+        # data/synthetic.make_camera_ring, wider pose coverage)
+        ang = rng.uniform(0, 2 * np.pi)
+        radius = rng.uniform(4000.0, 6500.0)
+        height = rng.uniform(600.0, 2400.0)
+        pos = np.array([radius * np.cos(ang), radius * np.sin(ang), height])
+        z = -pos / np.linalg.norm(pos)
+        up = np.array([0.0, 0.0, 1.0])
+        x_ax = np.cross(z, up)
+        x_ax /= np.linalg.norm(x_ax)
+        y_ax = np.cross(z, x_ax)
+        R = np.stack([x_ax, y_ax, z], axis=0)
+        # same focal scale family as the h36m fixture (f ~= 420 at 5 m)
+        f = 1100.0 * (img_w / 1000.0) * 1.5 * (radius / 5000.0) \
+            * rng.uniform(0.9, 1.1)
+        xc = (poses[i] - pos) @ R.T
+        pix = xc[:, :2] / xc[:, 2:3] * f + img_w / 2.0
         name = f"m{i:04d}.jpg"
         img = np.full((img_h, img_w, 3), 16, np.uint8)
         for j, (x, y) in enumerate(pix):

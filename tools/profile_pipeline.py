@@ -24,11 +24,14 @@ def main():
 
     import bench
 
-    # the adopted serving config (keep in sync with bench.main's int8 build)
-    qpipe, qparams, qx = bench._build_int8(batch, subpixel_deconvs={"deconv0"},
-                                           phase_kernel=2,
-                                           grouped_aggre=True, stem_s2d="pre",
-                                           input_layout="hwcn")
+    bench._enable_compile_cache()
+    # the adopted serving config (keep in sync with bench.main's int8 build);
+    # build on the CPU backend (eager build ops through the tunnel cost
+    # minutes — bench._built_on_cpu)
+    qpipe, qparams, qx = bench._built_on_cpu(
+        bench._build_int8, batch, subpixel_deconvs={"deconv0"},
+        phase_kernel=2, grouped_aggre=True, stem_s2d="pre",
+        input_layout="hwcn")
     _ = float(qpipe(qparams, qx))  # compile + warm
 
     os.system(f"rm -rf {logdir}")
