@@ -282,9 +282,9 @@ def _build_serving(batch, flip_test: bool = False):
     """The headline pipeline through the PUBLIC package API
     (posetpu.serving.build_serving_pipeline) — the same adopted config as
     _build_int8(subpixel_deconvs={'deconv0'}, phase_kernel=2,
-    grouped_aggre=True, stem_s2d='pre', input_layout='hwcn'), so the bench
-    number measures what a framework user actually gets. _build_int8 stays
-    as the ablation harness for tools/ab_*.py (measured identical:
+    grouped_aggre='pallas', stem_s2d='pre', input_layout='hwcn'), so the
+    bench number measures what a framework user actually gets. _build_int8
+    stays as the ablation harness for tools/ab_*.py (measured identical:
     tools/ab_serving.py)."""
     import jax
     import jax.numpy as jnp

@@ -231,6 +231,13 @@ def generate_pseudo_cfg(base_cfg_path: str, select_file: str, out_dir: str,
     written = []
     for path in selected:
         tag = os.path.basename(path).replace("_pseudo_label.h5", "")
+        # the sweep's {inliers}_{reproj} lives in the PARENT directory —
+        # fold it into the name like the reference does
+        # (generate_pseudo_cfg.py:70-72: prefix + dir_name + '_' + name),
+        # or same-basename configs from different sweep dirs overwrite
+        parent = os.path.basename(os.path.dirname(path))
+        if parent and parent not in ("", "."):
+            tag = f"{parent}_{tag}"
         cfg = dict(base)
         cfg.setdefault("DATASET", {})
         cfg["DATASET"] = dict(cfg["DATASET"])

@@ -67,8 +67,15 @@ def main():
     logger, output_dir, _ = create_logger(cfg, args.cfg, "valid")
 
     subset = "train" if args.trainset else cfg.DATASET.TEST_SUBSET
+    # --trainset keeps is_train=True: the reference's valid_trainset.py:155
+    # builds the TRAIN grouping (::5) so the heatmap dump's rows line up
+    # with what cli.pseudo_labels / cli.triangulate expect (is_train only
+    # changes grouping/meta for h36m — augmentation is mpii-only,
+    # data/base.py:191). Round-3 fix: is_train=False here dumped the ::64
+    # eval grouping and the documented validate->pseudo_labels flow crashed
+    # on the row-count assert.
     dataset = get_dataset(cfg.DATASET.TEST_DATASET)(
-        cfg, subset, False,
+        cfg, subset, args.trainset,
         no_distortion=args.no_distortion or cfg.DATASET.NO_DISTORTION,
     )
     loader = GroupLoader(dataset, cfg.TEST.BATCH_SIZE, shuffle=False, drop_last=False)

@@ -7,17 +7,18 @@ fused[t] = (1/3) * sum_p  x[src(t, p)] @ wq[t, p]  over its 3 source
 views, with the [4, 3, S, S] int8 bank (201 MB at S=4096) streamed from
 HBM once per step.
 
-STATUS: NOT adopted. PERF.md's corrected roofline (commit aa5d6f2) shows
-the XLA grouped dot is MXU-COMPUTE-bound, not stream-bound: 0.61 ms
-measured vs a 0.56 ms int8 compute peak for its 103 GMAC — the earlier
-"~1.7x over the weight-stream floor" framing double-counted the gather.
-There is no traffic win left for a kernel to harvest; bench.main and
-posetpu.serving keep the XLA grouped dot
-(quant.aggregation_int8_apply_jns_grouped). The kernel remains as the
-measured alternative (A/B receipt in PERF.md "Measured and rejected"),
-reachable via bench._build_int8(grouped_aggre="pallas").
+STATUS: ADOPTED (round 3) — the default in posetpu.serving
+(build_serving_pipeline(aggre_kernel=True)). Measured same-session A/B at
+the adopted serving config (tools/ab_agg_kernel.py, rtt 29.1 ms):
+XLA grouped dot 3,223.8 -> kernel **3,288.8** 4-view frames/s. History:
+round 2 called the XLA chain compute-bound (0.61 ms vs 0.56 ms int8 peak
+for 103 GMAC) and shelved the kernel unlaunched; round 3 fixed its sv
+BlockSpec (a [1, BS] block violates the TPU (8,128) tiling rule — the
+kernel had only ever run in interpret mode) and the A/B showed the
+gathered 3x-duplicated operand's materialization was NOT free: removing
+it + overlapping the source DMAs recovers ~0.06 ms/iter.
 
-What the kernel does (if revisited on hardware where the balance differs):
+What the kernel does:
 
   - the quantized heatmaps xq [V, J*N, S] int8 stay in HBM (ANY memory);
     each target's 3 source planes are DMAd into VMEM scratch ONCE per
@@ -44,8 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 def _agg_kernel(x_hbm, w_ref, sv_ref, out_ref, xs0, xs1, xs2, sem,
                 *, n_jb: int, jn: int, s: int, interpret: bool):
     """Grid (t, jb), jb fastest. x_hbm [V, JN, S] int8 (ANY); w_ref
-    [1, 3, S, BS] int8 (target t's bank, S-block jb); sv_ref [1, BS] f32
-    (pre-folded (x_scale/3)*w_scale block); out_ref [1, JN, BS] f32;
+    [1, 3, S, BS] int8 (target t's bank, S-block jb); sv_ref [4, BS] f32
+    (pre-folded (x_scale/3)*w_scale blocks, all targets — a [1, BS] block
+    violates the TPU (8, 128) block-tiling rule, so the full 4-row axis
+    rides along and the kernel slices row t); out_ref [1, JN, BS] f32;
     xs0..xs2 [JN, S] int8 VMEM scratch (the 3 source planes, persistent
     across the S-block steps of one target); sem DMA semaphores [3]."""
     t = pl.program_id(0)
@@ -70,7 +73,7 @@ def _agg_kernel(x_hbm, w_ref, sv_ref, out_ref, xs0, xs1, xs2, sem,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-    out_ref[0] = acc.astype(jnp.float32) * sv_ref[0][None, :]
+    out_ref[0] = acc.astype(jnp.float32) * sv_ref[pl.ds(t, 1), :]
 
 
 def aggregation_grouped_pallas(qagg, hm, *, block_s: int = 256,
@@ -105,7 +108,7 @@ def aggregation_grouped_pallas(qagg, hm, *, block_s: int = 256,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 3, s, block_s), lambda t, jb: (t, 0, 0, jb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_s), lambda t, jb: (t, jb),
+            pl.BlockSpec((4, block_s), lambda t, jb: (0, jb),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, jn, block_s), lambda t, jb: (t, 0, jb),

@@ -81,6 +81,7 @@ def build_serving_pipeline(
     subpixel_deconvs={"deconv0"},
     flip_pairs=None,
     interpret: bool = False,
+    aggre_kernel: bool = True,
 ) -> ServingPipeline:
     """Quantize a MultiViewPose ``variables`` tree into the adopted int8
     serving pipeline.
@@ -151,7 +152,20 @@ def build_serving_pipeline(
         n = hm.shape[1] // views
         raw = hm.reshape(hm.shape[0], n, views, hm.shape[-1])
         if params["qagg"] is not None:
-            fused = aggregation_int8_apply_jns_grouped(params["qagg"], raw)
+            if aggre_kernel:
+                # Pallas weight-streaming kernel: no gathered 3x-duplicated
+                # operand, sources DMAd to VMEM once per target — measured
+                # 3,224 -> 3,289 f/s same-session A/B (tools/ab_agg_kernel),
+                # bit-exact vs the XLA grouped dot
+                # (tests/test_aggregation_kernel.py)
+                from posetpu.ops.pallas.aggregation import (
+                    aggregation_grouped_pallas,
+                )
+
+                fused = aggregation_grouped_pallas(params["qagg"], raw,
+                                                   interpret=interpret)
+            else:
+                fused = aggregation_int8_apply_jns_grouped(params["qagg"], raw)
             out = fuse_routing_jns(raw, fused, is_h36m)
         else:
             out = raw

@@ -55,6 +55,7 @@ SLOW_TESTS = {
     "test_gan.py::test_domain_gan_drives_discriminator_accuracy",
     "test_integration.py::test_cli_train_end_to_end_sharded",
     "test_integration.py::test_int8_quant_eval_step_in_validate_loop",
+    "test_integration.py::test_cli_validate_trainset_grouping_matches_pseudo_labels",
     "test_phase_kernel.py::test_phase_kernel_bitexact_vs_xla_phase_tail",
     "test_phase_kernel.py::test_phase_tail2_bitexact_vs_xla_phase_tail",
     "test_phase_kernel.py::test_subpixel_deconv_kernel_bitexact_vs_xla_subpixel",

@@ -315,3 +315,56 @@ def test_int8_quant_eval_step_in_validate_loop(synth_h36m_root, tmp_path):
     )
     out2 = eval_step2({"q": qparams2, "bank": bank2}, prep(host))
     assert np.isfinite(np.asarray(out2["preds"])).all()
+
+
+def test_cli_validate_trainset_grouping_matches_pseudo_labels(
+        synth_h36m_root, tmp_path, monkeypatch):
+    """cli.validate --trainset must dump the TRAIN grouping (::5, the
+    reference's valid_trainset.py:155 builds is_train=True) so the H5 rows
+    line up with cli.pseudo_labels' dataset. Round-3 regression: is_train
+    was False (::64 eval grouping) and the documented
+    validate->pseudo_labels flow crashed on the row-count assert."""
+    import sys
+
+    import yaml
+
+    from posetpu.cli import validate as validate_cli
+    from posetpu.data.h5io import load_heatmaps
+    from posetpu.models import MultiViewPose, get_pose_net
+    from posetpu.train.checkpoint import CheckpointManager
+
+    cfg = _cfg(synth_h36m_root)
+    model = MultiViewPose(resnet=get_pose_net(cfg), aggre=False)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 64, 64, 3)), train=False)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_final({"base_model": {"params": variables["params"],
+                                   "batch_stats": variables["batch_stats"]}})
+
+    cfg_path = tmp_path / "exp.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({
+            "DATASET": {"ROOT": str(synth_h36m_root), "DATA_FORMAT": "jpg",
+                        "TEST_DATASET": "multiview_h36m",
+                        "TRAIN_DATASET": "multiview_h36m"},
+            "NETWORK": {"IMAGE_SIZE": [64, 64], "HEATMAP_SIZE": [16, 16],
+                        "AGGRE": False, "PRETRAINED": ""},
+            "POSE_RESNET": {"NUM_LAYERS": 18},
+            "TEST": {"BATCH_SIZE": 2},
+            "OUTPUT_DIR": str(tmp_path / "out"),
+            "LOG_DIR": str(tmp_path / "log"),
+        }, f)
+    monkeypatch.setattr(sys, "argv", [
+        "validate", "--cfg", str(cfg_path),
+        "--state", str(tmp_path / "ckpt" / "final_state"), "--trainset"])
+    validate_cli.main()
+
+    dumps = []
+    for base, _, names in os.walk(str(tmp_path / "out")):
+        dumps += [os.path.join(base, n) for n in names
+                  if n.startswith("heatmaps_locations_train")]
+    assert dumps, "no trainset H5 dump written"
+    _, loc, _ = load_heatmaps(dumps[0])
+    train_ds = MultiViewH36M(cfg, "train", True)
+    assert len(loc) == len(train_ds.grouping) * 4, (
+        len(loc), len(train_ds.grouping))

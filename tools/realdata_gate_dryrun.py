@@ -140,12 +140,21 @@ def main():
     results["h36m_pckh"] = float(validate_cli.main())
     sys.argv = ["validate", "--cfg", h36m_cfg, "--state", state, "--trainset"]
     validate_cli.main()
+    # two dumps, two consumers (reference protocol): triangulate/rpsm read
+    # the VALIDATION dump (test_triangulate.py:51-52 builds the eval
+    # grouping), pseudo_labels reads the TRAINSET dump
+    # (valid_trainset.py:155 builds the ::5 train grouping)
     dumps = glob.glob("output/multiview_h36m/**/heatmaps_locations_train*.h5",
                       recursive=True)
     assert dumps, "trainset validate produced no H5 dump"
     h5 = os.path.abspath(dumps[0])
-    print(f"[2] H36M PCKh@0.5 = {results['h36m_pckh']:.3f}; dump {h5}",
-          flush=True)
+    vdumps = glob.glob(
+        "output/multiview_h36m/**/heatmaps_locations_validation*.h5",
+        recursive=True)
+    assert vdumps, "validate produced no validation H5 dump"
+    h5_val = os.path.abspath(vdumps[0])
+    print(f"[2] H36M PCKh@0.5 = {results['h36m_pckh']:.3f}; dumps {h5}, "
+          f"{h5_val}", flush=True)
 
     # ---- [3] triangulation (GT oracle, then predictions) + RPSM
     from posetpu.cli import rpsm as rpsm_cli
@@ -157,9 +166,10 @@ def main():
         modelDir = logDir = dataDir = ""
 
     cfg = load_cfg(A())
-    results["tri_gt_mm"] = float(tri_cli.run(cfg, "")["mean"])
-    results["tri_pred_mm"] = float(tri_cli.run(cfg, h5)["mean"])
-    results["rpsm_mm"] = float(rpsm_cli.run(cfg, h5, "", max_groups=8)["mean"])
+    results["tri_gt_mm"] = float(tri_cli.run(cfg, "")["mean_mm"])
+    results["tri_pred_mm"] = float(tri_cli.run(cfg, h5_val)["mean_mm"])
+    results["rpsm_mm"] = float(
+        rpsm_cli.run(cfg, h5_val, "", max_groups=8)["mpjpe_mm"])
     print(f"[3] MPJPE: GT {results['tri_gt_mm']:.2f} mm, pred "
           f"{results['tri_pred_mm']:.2f} mm, rpsm {results['rpsm_mm']:.2f} mm",
           flush=True)
