@@ -28,7 +28,7 @@ LOOP_INSIDE = 10  # pipeline steps per host fetch (amortises tunnel RTT)
 # measured and printed first (the driver kills the whole run at ~600 s, and
 # backend init through the remote tunnel alone costs 60-340 s — measured
 # 2026-08-20 — so a partial run must still leave a parsed headline line).
-BENCH_BUDGET_S = float(os.environ.get("POSETPU_BENCH_BUDGET", "420"))
+BENCH_BUDGET_S = float(os.environ.get("POSETPU_BENCH_BUDGET", "350"))
 
 
 def _enable_compile_cache():

@@ -74,6 +74,23 @@ def default_stage_fns(args, log=print):
         prepare = make_prepare_fn(cfg)
         sample = prepare(next(iter(loader)))
         state = init_train_state(model, cfg, tx, sample)
+        ckpt = CheckpointManager(output_dir)
+        if it > 0 and ckpt.exists("final_state"):
+            # warm-start from the previous iteration's model — the
+            # reference's pseudo configs set TRAIN.RESUME +
+            # RESUME_PATH=<previous final_state> (train.sh:86-109;
+            # model-only, optimizer fresh, run/pose2d/train.py:250-275).
+            # Round-2's from-scratch retrain was a parity gap and the
+            # mechanism behind its iteration-1 degradation.
+            from posetpu.train.step import TrainState
+
+            restored, _ = ckpt.restore(
+                "final_state", {"base_model": state})
+            prev = restored["base_model"]
+            state = TrainState(prev.params, prev.batch_stats,
+                               state.opt_state, 0)
+            logger.info("=> warm-start from previous iteration's "
+                        "final_state (RESUME_PATH semantics)")
         extra = (
             build_fund_extra(cfg, train_ds)
             if cfg.LOSS.USE_FUNDAMENTAL_LOSS else None
@@ -82,7 +99,6 @@ def default_stage_fns(args, log=print):
         for epoch in range(epochs):
             state = train_epoch(cfg, loader, prepare, step, state, epoch,
                                 logger=logger, extra_batch_fn=extra)
-        ckpt = CheckpointManager(output_dir)
         ckpt.save_final({"base_model": state})
         return state, output_dir
 

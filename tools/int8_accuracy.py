@@ -22,7 +22,7 @@ IMG_W = IMG_H = 256
 N_GROUPS = 320
 
 
-def build_fixture(root: str) -> None:
+def build_fixture(root: str, uniform_color: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -65,8 +65,13 @@ def build_fixture(root: str) -> None:
         if a == "*":
             continue
         pts3d[:, a] = poses16[:, u]
-        colors[a] = (int(80 + 10 * (u + 1)), int(255 - 9 * (u + 1)),
-                     int(40 + 12 * (u + 1)))  # = the MPII fixture's color u
+        # uniform_color: all joints share one color, so joint identity must
+        # come from the 2D CONFIGURATION (like real pose estimation) — the
+        # regime where cross-view transfer is imperfect and the pipeline's
+        # geometry distillation has headroom (reference's 0.904 regime)
+        colors[a] = ((120, 220, 120) if uniform_color else
+                     (int(80 + 10 * (u + 1)), int(255 - 9 * (u + 1)),
+                      int(40 + 12 * (u + 1))))  # = the MPII fixture's color u
     pts3d[:, 7] = 0.5 * (pts3d[:, 0] + pts3d[:, 8])  # belly: root-neck mid
     db = []
     for g in range(N_GROUPS):
