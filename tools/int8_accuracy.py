@@ -23,6 +23,24 @@ N_GROUPS = 320
 
 
 def build_fixture(root: str, uniform_color: bool = False) -> None:
+    import contextlib
+
+    import jax
+    import jax.numpy as jnp
+
+    # pin the per-group eager projection math to the host CPU backend:
+    # through the remote tunnel every eager op is a round-trip and the
+    # 320x4 build takes ~10 min instead of seconds
+    try:
+        _cpu = jax.local_devices(backend="cpu")[0]
+        _ctx = jax.default_device(_cpu)
+    except RuntimeError:
+        _ctx = contextlib.nullcontext()
+    with _ctx:
+        return _build_fixture_impl(root, uniform_color)
+
+
+def _build_fixture_impl(root: str, uniform_color: bool) -> None:
     import jax
     import jax.numpy as jnp
 
