@@ -17,17 +17,21 @@ import bench
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    bench._enable_compile_cache()
     rtt = bench._tunnel_rtt()
     print(f"tunnel rtt {rtt*1e3:.1f} ms", flush=True)
     for flip in (False, True):
-        pipe, params, x = bench._build_int8(
-            batch, flip_test=flip, subpixel_deconvs={"deconv0"},
-            phase_kernel=2, grouped_aggre=True, stem_s2d="pre",
-            input_layout="hwcn")
+        # grouped_aggre="pallas" matches the serving default since the
+        # round-3 aggregation-kernel adoption (serving.py aggre_kernel=True)
+        pipe, params, x = bench._built_on_cpu(
+            bench._build_int8, batch, flip_test=flip,
+            subpixel_deconvs={"deconv0"}, phase_kernel=2,
+            grouped_aggre="pallas", stem_s2d="pre", input_layout="hwcn")
         fps = bench._measure(pipe, params, x, batch, rtt)
         print(f"flip={flip} ablation-harness: {fps:.1f} 4-view frames/s",
               flush=True)
-        spipe, sparams, sx = bench._build_serving(batch, flip_test=flip)
+        spipe, sparams, sx = bench._built_on_cpu(
+            bench._build_serving, batch, flip_test=flip)
         sfps = bench._measure(spipe, sparams, sx, batch, rtt)
         print(f"flip={flip} package-API     : {sfps:.1f} 4-view frames/s",
               flush=True)

@@ -90,7 +90,7 @@ def write_headboxes(root: str) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir", nargs="?", default="/tmp/realdata_gate")
-    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--epochs", type=int, default=60)
     args = ap.parse_args()
     work = args.workdir
     os.makedirs(work, exist_ok=True)
@@ -108,7 +108,11 @@ def main():
         f.write(MPII_CFG.format(root=root, epochs=args.epochs))
     h36m_cfg = os.path.join(work, "h36m.yaml")
     with open(h36m_cfg, "w") as f:
-        f.write(H36M_CFG.format(root=root, epochs=args.epochs))
+        # AGGRE=false: the checkpoint being gated is the MPII-trained
+        # (non-aggre) model, the reference's own protocol for the
+        # mpii-model rows of README.md:224-227
+        f.write(H36M_CFG.format(root=root, epochs=args.epochs)
+                .replace("AGGRE: true", "AGGRE: false"))
 
     os.chdir(work)
     results = {}
