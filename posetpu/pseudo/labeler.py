@@ -150,15 +150,24 @@ def mint_pseudo_labels(
     def choose(min_vis: float = 0.10):
         """Automatic pick from the Pareto front: the reference publishes
         select.txt for a human to choose from (test_pseudo_label.py:261-286);
-        the pipeline's --adaptive-thre mode picks the highest-PCKh selected
-        entry whose visible fraction clears ``min_vis`` (labels too sparse
-        to retrain on are useless however accurate), falling back to the
-        most-visible entry."""
+        the pipeline's --adaptive-thre mode maximises PCKh·vis — the
+        expected fraction of joints that get a CORRECT label — over the
+        selected entries clearing ``min_vis``, falling back to the
+        most-visible entry.
+
+        Why not max-PCKh: a later-iteration detector's confidence
+        distribution shifts, and a high threshold can be left with
+        near-perfect labels on almost nothing (measured on chip: iteration
+        1's sweep had 1.000 PCKh @ 0.16 vis beside 0.985 @ 0.99; picking
+        the former starved iteration 2 of supervision and regressed it,
+        0.973 -> 0.940 val PCKh). The reference's own published pick is a
+        coverage point (0.967 @ 0.90, README.md:220)."""
         sel = summary.get("selected") or names
         cand = [e for e in summary["entries"] if e.get("name") in sel]
         ok = [e for e in cand if e["vis"] >= min_vis]
         pool = ok or cand
-        key = (lambda e: e.get("pckh", 0.0)) if ok else (lambda e: e["vis"])
+        key = ((lambda e: e.get("pckh", 0.0) * e["vis"]) if ok
+               else (lambda e: e["vis"]))
         return max(pool, key=key)["name"]
 
     summary["choose"] = choose

@@ -99,11 +99,11 @@ def test_mint_pseudo_labels_end_to_end(tmp_path, rng):
 
 
 def test_mint_choose_policy(tmp_path, rng):
-    """summary['choose']() picks the highest-PCKh Pareto entry whose
-    visible fraction clears the floor, and its H5 exists — the
-    --adaptive-thre pipeline regime. A detector whose confidences all sit
-    below a high fixed threshold still yields usable labels at the lower
-    sweep points."""
+    """summary['choose']() picks the Pareto entry maximising PCKh·vis
+    (expected correct-label mass) over the visibility floor, and its H5
+    exists — the --adaptive-thre pipeline regime. A detector whose
+    confidences all sit below a high fixed threshold still yields usable
+    labels at the lower sweep points."""
     G, J = 4, 16
     cams = tile_cameras(make_camera_ring(), G)
     gt3d = make_poses3d(G)
@@ -128,10 +128,21 @@ def test_mint_choose_policy(tmp_path, rng):
     entry = next(e for e in summary["entries"] if e.get("name") == name)
     assert entry["vis"] >= 0.10
     assert os.path.exists(os.path.join(out, f"{name}_pseudo_label.h5"))
-    # every saved Pareto candidate with vis over the floor has pckh <= chosen
+    # every saved Pareto candidate with vis over the floor has
+    # pckh*vis <= the chosen entry's (the expected-correct-label utility)
     floor = [e for e in summary["entries"]
              if e.get("name") in summary["selected"] and e["vis"] >= 0.10]
-    assert all(e["pckh"] <= entry["pckh"] + 1e-9 for e in floor)
+    util = entry["pckh"] * entry["vis"]
+    assert all(e["pckh"] * e["vis"] <= util + 1e-9 for e in floor)
+
+    # a near-perfect-but-sparse entry must not beat an almost-as-good
+    # near-full-coverage one (the measured iteration-2 regression regime)
+    summary["entries"].extend([
+        {"name": "sparse", "pckh": 1.0, "vis": 0.16},
+        {"name": "broad", "pckh": 0.985, "vis": 0.99},
+    ])
+    summary["selected"] = ["sparse", "broad"]
+    assert summary["choose"]() == "broad"
 
 
 def test_mint_loop_mode_single_threshold(tmp_path, rng):
