@@ -82,12 +82,15 @@ def default_stage_fns(args, log=print):
             # model-only, optimizer fresh, run/pose2d/train.py:250-275).
             # Round-2's from-scratch retrain was a parity gap and the
             # mechanism behind its iteration-1 degradation.
+            # Model-only restore (ADVICE r3): only the params/batch_stats
+            # leaves are read (optimizer bytes stay on disk), and the item
+            # tree comes from the checkpoint's own metadata — a changed
+            # optimizer/schedule between iterations cannot break the
+            # restore. Reference: train.py:250-275 loads state_dict only.
             from posetpu.train.step import TrainState
 
-            restored, _ = ckpt.restore(
-                "final_state", {"base_model": state})
-            prev = restored["base_model"]
-            state = TrainState(prev.params, prev.batch_stats,
+            prev = ckpt.restore_model("final_state")["base_model"]
+            state = TrainState(prev["params"], prev["batch_stats"],
                                state.opt_state, 0)
             logger.info("=> warm-start from previous iteration's "
                         "final_state (RESUME_PATH semantics)")

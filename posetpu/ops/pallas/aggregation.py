@@ -76,20 +76,53 @@ def _agg_kernel(x_hbm, w_ref, sv_ref, out_ref, xs0, xs1, xs2, sem,
     out_ref[0] = acc.astype(jnp.float32) * sv_ref[pl.ds(t, 1), :]
 
 
+# VMEM budget for the kernel's persistent scratch (3 source planes) plus
+# the pipelined weight/out blocks. >16 MB of scoped scratch OOMs this
+# chip's stack (PERF.md, round-2 layer1 kernel receipts); stay under it
+# with margin for Mosaic's own double-buffering.
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+def _pick_block_s(s: int, block_s: int) -> int | None:
+    """Largest divisor of ``s`` that is ≤ block_s and a multiple of 128
+    (the TPU lane tile), or None if no legal block exists."""
+    for bs in range(min(block_s, s), 127, -128):
+        if s % bs == 0 and bs % 128 == 0:
+            return bs
+    return None
+
+
 def aggregation_grouped_pallas(qagg, hm, *, block_s: int = 256,
                                interpret: bool = False):
     """Drop-in twin of quant.aggregation_int8_apply_jns_grouped: hm
     [J, N, V, S] f32 -> fused [J, N, V, S] f32, grouped int8 bank ``qagg``
     (wq [4, 3, S, S], w_scale [4, 1, S], x_scale) — bit-exact vs the XLA
     path (same int8 products, int32-exact pair sum, identical single f32
-    epilogue multiply)."""
+    epilogue multiply).
+
+    Configs the kernel cannot tile (S not a multiple of 128 — e.g. 56x56
+    heatmaps) or whose scratch exceeds the VMEM budget (batch so large the
+    3 source planes don't fit) fall back to the XLA grouped dot instead of
+    failing the build: the kernel is a measured ~2% win at the adopted
+    serving shape, not a correctness requirement."""
     j, n, v, s = hm.shape
     assert v == 4
     jn = j * n
-    # the grid only visits s // block_s output column blocks: a ragged S
-    # would silently leave the trailing columns uninitialised
-    assert s % block_s == 0, (s, block_s)
     assert jn > 0
+    # the grid only visits s // block_s output column blocks: a ragged S
+    # would leave the trailing columns uninitialised, so re-pick a legal
+    # divisor block or fall back
+    bs = block_s if s % block_s == 0 and block_s % 128 == 0 else \
+        _pick_block_s(s, block_s)
+    scratch_bytes = 3 * jn * s  # int8 source planes, persistent
+    if bs is not None:
+        scratch_bytes += 2 * (3 * s * bs)  # double-buffered weight blocks
+        scratch_bytes += 2 * (jn * bs * 4)  # out blocks, f32
+    if bs is None or scratch_bytes > _VMEM_BUDGET_BYTES:
+        from posetpu.models.quant import aggregation_int8_apply_jns_grouped
+
+        return aggregation_int8_apply_jns_grouped(qagg, hm)
+    block_s = bs
     # quantize on the XLA side (one elementwise fusion; the kernel reads
     # the int8 planes straight from HBM — no gathered operand)
     xq8 = jnp.clip(

@@ -144,3 +144,32 @@ class CheckpointManager:
             with open(meta_path) as f:
                 meta = json.load(f)
         return states, meta
+
+    def restore_model(self, name: str = "final_state",
+                      keep: tuple = ("params", "batch_stats")) -> dict:
+        """Restore ONLY the model subtrees (``keep``) of each saved entry.
+
+        Optimizer/step bytes are never read (``ocp.PLACEHOLDER`` leaves),
+        and the item tree is built from the ON-DISK metadata, so the
+        restore is decoupled from the saved optimizer tree structure — a
+        changed optimizer/schedule between pipeline iterations cannot break
+        it. This is the reference's model-only RESUME_PATH semantics
+        (run/pose2d/train.py:250-275 loads ``state_dict`` only).
+        """
+        self.wait_until_finished()
+        path = os.path.join(self.directory, name)
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ck:
+            tree = ck.metadata(path).item_metadata.tree
+
+            def mark(sub, keep_it):
+                return jax.tree.map(
+                    lambda _: ocp.RestoreArgs() if keep_it
+                    else ocp.PLACEHOLDER, sub)
+
+            item = {
+                ename: {k: mark(v, k in keep) for k, v in entry.items()}
+                for ename, entry in tree.items()
+            }
+            states = ck.restore(path, args=ocp.args.PyTreeRestore(item=item))
+        return {e: {k: v for k, v in sub.items() if k in keep}
+                for e, sub in states.items()}

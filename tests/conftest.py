@@ -34,9 +34,12 @@ def rng():
 # Fast/slow tiers (round-3 VERDICT #7). The slow tier is the interpret-mode
 # Pallas kernels, full-stack oracles and multi-step train/GAN tests — ~1,880
 # of the suite's ~2,100 s on this single-core host (measured --durations=60,
-# 2026-08-20). Default run: ~3.5 min. `--slow` restores the full suite; no
+# 2026-08-20). Default run: ~4 min. `--slow` restores the full suite; no
 # test is deleted. Maintained as one nodeid set here (single source) instead
 # of scattered decorators; anything not listed runs in the default tier.
+# The adopted serving kernels keep a cheap bit-exact guard in the FAST tier
+# (tests/test_kernel_smoke.py, ADVICE r3) — run `pytest --slow` for the full
+# kernel suite after touching posetpu/ops/pallas/ or posetpu/serving.py.
 # ---------------------------------------------------------------------------
 SLOW_TESTS = {
     "test_train_step.py::test_graft_entry_dryrun",
@@ -66,6 +69,7 @@ SLOW_TESTS = {
     "test_tail_jns.py::test_jns_tail_matches_nhwc_tail",
     "test_serving.py::test_serving_preds_match_jns_reference",
     "test_serving.py::test_serving_flip_test_and_defaults_smoke",
+    "test_serving.py::test_serving_premirrored_flip_matches_device_mirror",
     "test_phase_tail.py::test_s2d_stem_bitexact",
     "test_phase_tail.py::test_phase_forward_bitexact_vs_jns",
     "test_phase_tail.py::test_per_name_subpixel_deconv",

@@ -32,3 +32,37 @@ def test_grouped_aggregation_kernel_bitexact(jn_shape):
     ref = aggregation_int8_apply_jns_grouped(qagg, hm)
     out = aggregation_grouped_pallas(qagg, hm, block_s=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_grouped_aggregation_kernel_fallback_ragged_s():
+    """ADVICE r3 (medium): an S the kernel cannot tile (56x56 heatmaps ->
+    S=3136, not a multiple of 128) must fall back to the XLA grouped dot
+    instead of asserting inside the default serving path."""
+    j, n, s = 3, 2, 3136
+    rng = np.random.RandomState(1)
+    bank = jnp.asarray(rng.randn(12, s, s).astype(np.float32) * 0.01)
+    qagg = quantize_aggregation_grouped(bank)
+    hm = jnp.asarray(rng.rand(j, n, 4, s).astype(np.float32))
+    ref = aggregation_int8_apply_jns_grouped(qagg, hm)
+    out = aggregation_grouped_pallas(qagg, hm, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_grouped_aggregation_kernel_fallback_vmem_budget():
+    """A batch whose 3 persistent source planes exceed the VMEM budget
+    falls back rather than OOMing the scoped stack at compile time."""
+    from posetpu.ops.pallas import aggregation as agg_mod
+
+    j, n, s = 4, 2, 256
+    rng = np.random.RandomState(2)
+    bank = jnp.asarray(rng.randn(12, s, s).astype(np.float32) * 0.01)
+    qagg = quantize_aggregation_grouped(bank)
+    hm = jnp.asarray(rng.rand(j, n, 4, s).astype(np.float32))
+    ref = aggregation_int8_apply_jns_grouped(qagg, hm)
+    old = agg_mod._VMEM_BUDGET_BYTES
+    try:
+        agg_mod._VMEM_BUDGET_BYTES = 1024  # force the budget fallback
+        out = aggregation_grouped_pallas(qagg, hm, interpret=True)
+    finally:
+        agg_mod._VMEM_BUDGET_BYTES = old
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

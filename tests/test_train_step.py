@@ -240,3 +240,29 @@ def test_eval_step_extra_loss_terms(rng):
                           cfg2, flip_pairs=FLIP_PAIRS)(variables, batch)
     # extra terms add to the loss
     assert float(out["loss"]) > float(base["loss"])
+
+
+def test_checkpoint_restore_model_only(tmp_path):
+    """restore_model reads only params/batch_stats and survives a CHANGED
+    optimizer tree structure between save and restore (ADVICE r3: the
+    reference's RESUME_PATH warm start is model-only)."""
+    import numpy as np
+
+    from posetpu.train.checkpoint import CheckpointManager
+    from posetpu.train.state import TrainState
+
+    state = TrainState(
+        params={"w": np.full((2, 2), 3.0, np.float32)},
+        batch_stats={"m": np.zeros(3, np.float32)},
+        opt_state={"mu": np.ones(5, np.float32), "nu": np.ones(5, np.float32)},
+        step=7,
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_final({"base_model": state})
+
+    restored = mgr.restore_model("final_state")["base_model"]
+    assert set(restored) == {"params", "batch_stats"}
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  state.params["w"])
+    np.testing.assert_array_equal(restored["batch_stats"]["m"],
+                                  state.batch_stats["m"])

@@ -98,6 +98,11 @@ def main():
     if not os.path.exists(os.path.join(root, "mpii", "annot", "train.json")):
         print("building mpii fixture...", flush=True)
         build_mpii_fixture(root, n_mpii=192)
+    if not os.path.exists(os.path.join(root, "mpii", "annot", "gt_valid.mat")):
+        # keyed on gt_valid.mat itself (ADVICE r3): a workdir whose MPII
+        # fixture came from tools/pipeline_drive.py (which never writes the
+        # headbox mats) passed the train.json check and then failed in the
+        # PCKh evaluate step
         write_headboxes(root)
     if not os.path.exists(os.path.join(root, "h36m", "annot", "h36m_train.pkl")):
         print("building h36m fixture...", flush=True)
