@@ -57,7 +57,7 @@ class ServingPipeline(NamedTuple):
     params: Any
     prepare: Callable
     views: int
-    flip_test: bool
+    flip_test: bool | str
 
 
 def pack_hwcn(images: np.ndarray) -> np.ndarray:
@@ -76,7 +76,7 @@ def build_serving_pipeline(
     variables,
     calib_batches,
     *,
-    flip_test: bool = False,
+    flip_test: bool | str = False,
     views: int = 4,
     subpixel_deconvs={"deconv0"},
     flip_pairs=None,
@@ -96,7 +96,20 @@ def build_serving_pipeline(
     form (finer per-phase weight scales — approximate vs the dilated int8
     path, PCKh-delta measured zero; pass False for the bit-exact-vs-NHWC
     config). ``interpret``: run the Pallas kernels in interpret mode (CPU
-    tests)."""
+    tests).
+
+    ``flip_test``: False, True, or ``"premirrored"``. True mirrors the
+    packed input in-graph (quant.mirror_s2d_hwcn) — a pure index
+    permutation, but XLA does not fuse it into the u8 affine, so it costs a
+    materialised 25 MB reverse per step (0.316 ms on chip, PERF.md).
+    ``"premirrored"`` moves the mirror to the HOST input contract instead:
+    :meth:`prepare` (and the native loader, which composes the flip into
+    the warp for free — ``load_warp_batch_geom`` geom rows carry a flip
+    field) delivers the packed batch with the mirrored half already
+    concatenated on the batch-minor axis, and the device graph starts at
+    the u8 affine. Byte-identical input, same merge semantics
+    (lib/core/function.py:557-583) — bit-exact vs flip_test=True
+    (tests/test_serving.py)."""
     from posetpu.core.inference import (
         final_preds_packed,
         flip_test_merge_packed,
@@ -141,8 +154,10 @@ def build_serving_pipeline(
 
     @jax.jit
     def infer(params, x, center, scale, is_h36m):
-        if flip_test:
+        if flip_test is True:
             x = jnp.concatenate([x, mirror_s2d_hwcn(x)], axis=3)
+        # premirrored: x arrives [H/2, W/2, 12, 2*N*V], mirror already done
+        # on the host — no in-graph reverse/concat
         flat = jnp.transpose(x, (3, 0, 1, 2))  # layout-free: bytes already N-minor
         hm = qfwd(params["q"], u8_quant(flat))  # [J, N*V(*2), S] packed
         if flip_test:
@@ -173,7 +188,13 @@ def build_serving_pipeline(
 
     def prepare(images: np.ndarray) -> np.ndarray:
         n, v, h, w, c = images.shape
-        return pack_hwcn(images.reshape(n * v, h, w, c))
+        packed = pack_hwcn(images.reshape(n * v, h, w, c))
+        if flip_test == "premirrored":
+            # numpy twin of the native loader's double-warp output: the
+            # mirrored half rides in the upper batch-minor indices
+            packed = np.concatenate([packed, np.asarray(
+                mirror_s2d_hwcn(packed))], axis=3)
+        return packed
 
     return ServingPipeline(infer=infer, params=params, prepare=prepare,
                            views=views, flip_test=flip_test)

@@ -126,3 +126,32 @@ def test_serving_flip_test_and_defaults_smoke(rng):
                                 center, scale, jnp.ones((n,), jnp.float32))
     assert preds.shape == (n, v, 16, 2) and maxvals.shape == (n, v, 16)
     assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_serving_premirrored_flip_matches_device_mirror(rng):
+    """flip_test="premirrored" (host-side mirror in the input contract,
+    round-4 flip lever — kills the in-graph 25 MB reverse) is bit-exact vs
+    flip_test=True (device-side mirror): same bytes reach the u8 affine."""
+    cfg = _small_cfg()
+    variables, _ = _mv_variables(rng)
+    calib = [rng.randn(2, 64, 64, 3).astype(np.float32)]
+
+    pipe_dev = build_serving_pipeline(cfg, variables, calib, flip_test=True,
+                                      subpixel_deconvs=False, interpret=True)
+    pipe_pre = build_serving_pipeline(cfg, variables, calib,
+                                      flip_test="premirrored",
+                                      subpixel_deconvs=False, interpret=True)
+
+    n, v = 2, 4
+    images = rng.randint(0, 256, (n, v, 64, 64, 3)).astype(np.uint8)
+    center = jnp.asarray(100 + 50 * rng.rand(n, v, 2).astype(np.float32))
+    scale = jnp.asarray(1 + rng.rand(n, v, 2).astype(np.float32))
+    is_h36m = jnp.asarray([1.0, 0.0], jnp.float32)
+
+    x_dev = jnp.asarray(pipe_dev.prepare(images))
+    x_pre = jnp.asarray(pipe_pre.prepare(images))
+    assert x_pre.shape[3] == 2 * x_dev.shape[3]
+    p1, m1 = pipe_dev.infer(pipe_dev.params, x_dev, center, scale, is_h36m)
+    p2, m2 = pipe_pre.infer(pipe_pre.params, x_pre, center, scale, is_h36m)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
