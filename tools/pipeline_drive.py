@@ -132,6 +132,13 @@ def main():
     ap.add_argument("--az-range", type=float, nargs=2, default=None,
                     help="restrict MPII fixture viewpoints to this azimuth "
                          "range (rad) — makes part of the h36m ring OOD")
+    ap.add_argument("--fund", action="store_true",
+                    help="enable the epipolar/fundamental loss from "
+                         "iteration 1 on (the reference's -f flag / fund5 "
+                         "rows, README.md:228-230) — the round-4 A/B "
+                         "against the fund-off baseline")
+    ap.add_argument("--fund-weight", type=float, default=5.0,
+                    help="LOSS.FUNDAMENTAL_LOSS_WEIGHT (reference fund5)")
     args0 = ap.parse_args()
     work = args0.workdir
     os.makedirs(work, exist_ok=True)
@@ -157,8 +164,21 @@ def main():
                            if args0.az_range else None)
 
     cfg_path = os.path.join(work, "exp.yaml")
+    cfg_text = MIXED_CFG.format(root=root, epochs=args0.epochs)
+    if args0.fund:
+        # the loss weight rides in the written cfg (inside the existing
+        # LOSS section — a duplicate yaml key would drop it); the ENABLE
+        # flips per iteration inside cli/pipeline.py (fund joins at
+        # iteration 1, the reference's -f semantics, train.sh:99-104)
+        cfg_text = cfg_text.replace(
+            "LOSS:\n",
+            "LOSS:\n"
+            f"  FUNDAMENTAL_LOSS_WEIGHT: {args0.fund_weight}\n"
+            "  USE_TARGET_WEIGHT_FUND: true\n",
+            1,
+        )
     with open(cfg_path, "w") as f:
-        f.write(MIXED_CFG.format(root=root, epochs=args0.epochs))
+        f.write(cfg_text)
 
     os.chdir(work)
     from posetpu.cli.common import load_cfg
@@ -168,8 +188,9 @@ def main():
     args = argparse.Namespace(
         cfg=cfg_path, modelDir="", logDir="", dataDir="",
         repeats=args0.repeats, ransac=True, inliers=3, reproj_thre=10.0,
-        confidence_thre=0.7, use_reproj=True, fund=False, fresh=args0.fresh,
-        no_distortion=True, epochs=args0.epochs, adaptive_thre=True,
+        confidence_thre=0.7, use_reproj=True, fund=args0.fund,
+        fresh=args0.fresh, no_distortion=True, epochs=args0.epochs,
+        adaptive_thre=True,
     )
     cfg = load_cfg(args)
 
@@ -207,7 +228,9 @@ def main():
     progression = [ln for ln in lines if "PCKh" in ln or "pseudo" in ln]
     print("PIPELINE_DRIVE " + json.dumps(
         {"final_pseudo": final_pseudo, "per_iteration": per_iter,
-         "progression": progression}
+         "progression": progression,
+         "fund": bool(args0.fund),
+         "fund_weight": args0.fund_weight if args0.fund else 0.0}
     ))
 
 
