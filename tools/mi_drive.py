@@ -43,6 +43,8 @@ def find_artifacts(work: str) -> tuple[str, str, str]:
     assert pstate, "no pipeline_state.json (drive incomplete?)"
     with open(pstate[0]) as f:
         pseudo = json.load(f)["pseudo_path"]
+    if not os.path.isabs(pseudo):  # drive runs with cwd=workdir
+        pseudo = os.path.join(work, pseudo)
     assert os.path.exists(pseudo), pseudo
     return cfg_path, state_dir, pseudo
 
