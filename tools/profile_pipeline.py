@@ -30,7 +30,7 @@ def main():
     # minutes — bench._built_on_cpu)
     qpipe, qparams, qx = bench._built_on_cpu(
         bench._build_int8, batch, subpixel_deconvs={"deconv0"},
-        phase_kernel=2, grouped_aggre=True, stem_s2d="pre",
+        phase_kernel=2, grouped_aggre="pallas", stem_s2d="pre",
         input_layout="hwcn")
     _ = float(qpipe(qparams, qx))  # compile + warm
 
