@@ -66,3 +66,31 @@ def test_grouped_aggregation_kernel_fallback_vmem_budget():
     finally:
         agg_mod._VMEM_BUDGET_BYTES = old
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_grouped_aggregation_kernel_jn_blocked_bitexact():
+    """When the full source planes exceed the VMEM budget, the JN-blocked
+    grid runs (not the XLA fallback) and stays bit-exact."""
+    from posetpu.ops.pallas import aggregation as agg_mod
+
+    j, n, s = 4, 8, 256  # jn=32: blocked path picks jnb in {8,16}
+    rng = np.random.RandomState(3)
+    bank = jnp.asarray(rng.randn(12, s, s).astype(np.float32) * 0.01)
+    qagg = quantize_aggregation_grouped(bank)
+    hm = jnp.asarray(rng.rand(j, n, 4, s).astype(np.float32))
+    ref = aggregation_int8_apply_jns_grouped(qagg, hm)
+    old = agg_mod._VMEM_BUDGET_BYTES
+    try:
+        # full planes = 3*32*256 = 24576 B; force the blocked path but
+        # leave room for a jnb=8 slice (3*8*256=6144) + pipeline blocks
+        agg_mod._VMEM_BUDGET_BYTES = 3 * 8 * s + 2 * (3 * s * 128) \
+            + 2 * (j * n * 128 * 4) + 1
+        jnb = agg_mod._pick_jn_block(
+            j * n, s, agg_mod._VMEM_BUDGET_BYTES
+            - 2 * (3 * s * 128) - 2 * (j * n * 128 * 4))
+        assert jnb is not None and jnb < j * n, jnb
+        out = aggregation_grouped_pallas(qagg, hm, block_s=128,
+                                         interpret=True)
+    finally:
+        agg_mod._VMEM_BUDGET_BYTES = old
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
