@@ -629,7 +629,14 @@ def main():
             "elapsed_s": round(time.time() - t_start, 1),
         }
         if "int8_flip" in results:
-            rec["int8_flip_test_fps"] = round(results["int8_flip"], 1)
+            # Host-premirrored input contract: the mirrored half is prepared
+            # on the host OUTSIDE the timed loop (the native loader composes
+            # the flip into the warp for free), so the per-batch in-graph
+            # mirror cost (0.316 ms in flip_test=True mode) is intentionally
+            # not in this number — the key says so. Delta vs the in-graph
+            # mirror protocol: tools/ab_flip_premirror.py (1,631 -> 1,697).
+            rec["int8_flip_test_premirrored_fps"] = round(
+                results["int8_flip"], 1)
         if "train" in results:
             rec["train_fps"] = round(results["train"], 1)
         if "sustained" in results:

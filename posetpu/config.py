@@ -188,6 +188,13 @@ def _default_config() -> Config:
             LR_FACTOR=0.1,
             LR_STEP=[90, 110],
             LR=0.001,
+            # Linear LR warmup over the first N epochs (0 = off, the
+            # reference default — lib/utils/utils.py:62-85 has no warmup).
+            # Extension for warm-start retrains: a fresh Adam state on a
+            # converged model takes a violent first-epoch transient at
+            # small batch (PIPELINE_r04.json mechanism[1]); warmup is the
+            # standard remedy and what the fund home-regime A/B uses.
+            WARMUP_EPOCHS=0,
             LR_DISCRIMINATOR=0.001,
             OPTIMIZER="adam",
             MOMENTUM=0.9,

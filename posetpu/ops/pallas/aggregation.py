@@ -86,7 +86,11 @@ _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 def _pick_block_s(s: int, block_s: int) -> int | None:
     """Largest divisor of ``s`` that is ≤ block_s and a multiple of 128
     (the TPU lane tile), or None if no legal block exists."""
-    for bs in range(min(block_s, s), 127, -128):
+    # Round the starting candidate down to a lane-tile multiple first:
+    # stepping by -128 from a non-multiple start would only visit values
+    # congruent to it mod 128 and could miss every legal block (ADVICE r4).
+    start = (min(block_s, s) // 128) * 128
+    for bs in range(start, 127, -128):
         if s % bs == 0 and bs % 128 == 0:
             return bs
     return None
@@ -128,13 +132,15 @@ def _agg_kernel_jnb(x_hbm, w_ref, sv_ref, out_ref, xs0, xs1, xs2, sem,
 
 
 def _pick_jn_block(jn: int, s: int, budget: int) -> int | None:
-    """Largest divisor of ``jn`` that is a multiple of 8 (sublane tile)
-    whose 3 int8 row-slices fit the scratch budget."""
+    """Largest divisor of ``jn`` that is a multiple of 32 — the int8 VMEM
+    sublane tile is (32, 128), so jnb of 8/16/24 would only ever work in
+    interpret mode and risks Mosaic layout errors or padding waste on real
+    hardware (ADVICE r4) — whose 3 int8 row-slices fit the scratch budget."""
     for nb in range(1, jn + 1):
         if jn % nb:
             continue
         jnb = jn // nb
-        if jnb % 8 == 0 and 3 * jnb * s <= budget:
+        if jnb % 32 == 0 and 3 * jnb * s <= budget:
             return jnb
     return None
 

@@ -110,6 +110,11 @@ def build_serving_pipeline(
     the u8 affine. Byte-identical input, same merge semantics
     (lib/core/function.py:557-583) — bit-exact vs flip_test=True
     (tests/test_serving.py)."""
+    if flip_test not in (False, True, "premirrored"):
+        raise ValueError(
+            f"flip_test must be False, True, or 'premirrored'; got "
+            f"{flip_test!r} (a typo string would be truthy and silently "
+            f"split/merge a non-doubled batch)")
     from posetpu.core.inference import (
         final_preds_packed,
         flip_test_merge_packed,

@@ -12,17 +12,29 @@ from __future__ import annotations
 import optax
 
 
-def multistep_lr(base_lr: float, lr_step, lr_factor: float, steps_per_epoch: int):
-    """MultiStepLR: multiply by ``lr_factor`` at each boundary epoch."""
+def multistep_lr(base_lr: float, lr_step, lr_factor: float, steps_per_epoch: int,
+                 warmup_epochs: int = 0):
+    """MultiStepLR: multiply by ``lr_factor`` at each boundary epoch.
+
+    ``warmup_epochs`` > 0 prefixes a linear 0 -> base_lr ramp
+    (TRAIN.WARMUP_EPOCHS; off by default — the reference has none)."""
     boundaries = {int(e) * steps_per_epoch: lr_factor for e in lr_step}
-    return optax.piecewise_constant_schedule(base_lr, boundaries)
+    schedule = optax.piecewise_constant_schedule(base_lr, boundaries)
+    if warmup_epochs:
+        warm_steps = int(warmup_epochs) * steps_per_epoch
+        warmup = optax.linear_schedule(0.0, base_lr, warm_steps)
+        return optax.join_schedules([warmup, schedule], [warm_steps])
+    return schedule
 
 
 def make_optimizer(cfg, steps_per_epoch: int, discriminator: bool = False,
                    fix_backbone: bool | None = None):
     """Build the optax transform for the base model or a discriminator."""
     lr = cfg.TRAIN.LR_DISCRIMINATOR if discriminator else cfg.TRAIN.LR
-    schedule = multistep_lr(lr, cfg.TRAIN.LR_STEP, cfg.TRAIN.LR_FACTOR, steps_per_epoch)
+    schedule = multistep_lr(lr, cfg.TRAIN.LR_STEP, cfg.TRAIN.LR_FACTOR,
+                            steps_per_epoch,
+                            warmup_epochs=int(getattr(cfg.TRAIN,
+                                                      "WARMUP_EPOCHS", 0)))
 
     if cfg.TRAIN.OPTIMIZER == "adam":
         tx = optax.adam(schedule)

@@ -73,7 +73,8 @@ def test_grouped_aggregation_kernel_jn_blocked_bitexact():
     grid runs (not the XLA fallback) and stays bit-exact."""
     from posetpu.ops.pallas import aggregation as agg_mod
 
-    j, n, s = 4, 8, 256  # jn=32: blocked path picks jnb in {8,16}
+    j, n, s = 4, 16, 256  # jn=64: blocked path picks jnb=32 (the int8
+    # sublane tile is (32, 128), so jnb < 32 is no longer legal — ADVICE r4)
     rng = np.random.RandomState(3)
     bank = jnp.asarray(rng.randn(12, s, s).astype(np.float32) * 0.01)
     qagg = quantize_aggregation_grouped(bank)
@@ -81,9 +82,9 @@ def test_grouped_aggregation_kernel_jn_blocked_bitexact():
     ref = aggregation_int8_apply_jns_grouped(qagg, hm)
     old = agg_mod._VMEM_BUDGET_BYTES
     try:
-        # full planes = 3*32*256 = 24576 B; force the blocked path but
-        # leave room for a jnb=8 slice (3*8*256=6144) + pipeline blocks
-        agg_mod._VMEM_BUDGET_BYTES = 3 * 8 * s + 2 * (3 * s * 128) \
+        # full planes = 3*64*256 = 49152 B; force the blocked path but
+        # leave room for a jnb=32 slice (3*32*256=24576) + pipeline blocks
+        agg_mod._VMEM_BUDGET_BYTES = 3 * 32 * s + 2 * (3 * s * 128) \
             + 2 * (j * n * 128 * 4) + 1
         jnb = agg_mod._pick_jn_block(
             j * n, s, agg_mod._VMEM_BUDGET_BYTES
