@@ -76,7 +76,7 @@ def _built_on_cpu(build, *args, **kwargs):
 def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
                 stem_s2d: bool = False, subpixel_deconvs=False,
                 phase_kernel: bool = False, grouped_aggre: bool = False,
-                input_layout: str = "nhwc"):
+                input_layout: str = "nhwc", act4=(), act4_mode="packed"):
     """int8 serving pipeline: PTQ ResNet-50 trunk -> bf16 aggregation fusion
     -> fuse routing -> decode -> triangulate (same stages as the bf16 path).
 
@@ -130,7 +130,7 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
     qparams, qfwd = quantize_pose_resnet(
         model, variables, [np.asarray(calib)], jns_head=jns_head,
         stem_s2d=stem_s2d, subpixel_deconvs=subpixel_deconvs,
-        phase_kernel=phase_kernel,
+        phase_kernel=phase_kernel, act4=act4, act4_mode=act4_mode,
     )
 
     aggre = Aggregation(heatmap_size=64, dtype=jnp.bfloat16)

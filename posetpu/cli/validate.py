@@ -36,6 +36,12 @@ def parse_args():
                         "the eval images before quantizing (repairs the PTQ "
                         "accuracy delta; no labels needed)")
     p.add_argument("--qat-lr", type=float, default=3e-6)
+    p.add_argument("--int8-act4", default="",
+                   help="with --int8: sub-int8 activation boundaries — "
+                        "'l12' (layer1+layer2 block outputs, the adopted "
+                        "serving set, tools/ab_act4.py) or a comma-"
+                        "separated list of boundary names; stored as "
+                        "native int4 (s4)")
     p.add_argument("--int8-subpixel", default="",
                    help="with --int8: comma-separated deconv names to "
                         "quantize in per-phase subpixel form (finer weight "
@@ -106,9 +112,16 @@ def main():
             qat_batches = [calib[i % len(calib)] for i in range(args.qat_steps)]
             logger.info(f"=> QAT fine-tune: {args.qat_steps} steps @ lr {args.qat_lr}")
         subpixel = set(filter(None, args.int8_subpixel.split(",")))
+        if args.int8_act4 == "l12":
+            act4 = tuple(f"layer1_{i}.out" for i in range(3)) + tuple(
+                f"layer2_{i}.out" for i in range(4))
+        else:
+            act4 = tuple(filter(None, args.int8_act4.split(",")))
+        if act4:
+            logger.info(f"=> int4 activation boundaries: {act4}")
         qparams, qfwd, bank = build_quant_from_variables(
             cfg, variables, calib, qat_batches=qat_batches, qat_lr=args.qat_lr,
-            subpixel_deconvs=subpixel or False,
+            subpixel_deconvs=subpixel or False, act4=act4,
         )
         eval_step = make_quant_eval_step(
             qfwd, cfg, flip_pairs=dataset.flip_pairs, has_aggre=bank is not None,

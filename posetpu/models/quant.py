@@ -233,6 +233,29 @@ def _subpixel_interleave(z, h: int, wd: int):
 # ------------------------------------------------------------- the forward
 
 
+def pack_nibbles(q8):
+    """int8 values in [-8, 7], even channel count -> uint8 with channel c
+    (low nibble) and c + C/2 (high nibble) packed per byte. Halves the HBM
+    bytes of a boundary tensor; the unpack is 3 elementwise int ops that XLA
+    duplicates into each consumer fusion (round-4 VERDICT #2 — the trunk's
+    layer1/layer2 fusions sit at HBM-*traffic* floors, and sub-int8
+    activations are the one lever that moves the floor itself)."""
+    c = q8.shape[-1]
+    lo = q8[..., : c // 2].astype(jnp.int32) & 0xF
+    hi = q8[..., c // 2:].astype(jnp.int32) & 0xF
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def unpack_nibbles(p):
+    """Inverse of :func:`pack_nibbles`: uint8 -> int8 in [-8, 7] with the
+    original channel order restored (minor-axis concat, layout-preserving).
+    Sign-extension via the (x ^ 8) - 8 trick keeps it branch-free."""
+    pi = p.astype(jnp.int32)
+    lo = ((pi & 0xF) ^ 8) - 8
+    hi = (((pi >> 4) & 0xF) ^ 8) - 8
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+
+
 def _conv(x, w, stride=1, padding=None, lhs_dilation=None, prefer=jnp.float32):
     if padding is None:
         # torch-style symmetric padding (k-1)//2 — XLA SAME pads
@@ -287,6 +310,9 @@ class _Recorder:
         self._record(y, name)
         return y, None
 
+    def unwrap(self, h, s_h):
+        return h, s_h
+
 
 def conv_dtype_policy(qparams) -> dict:
     """Per-site conv compute dtype: "int8" (MXU int8 path) or "bf16".
@@ -319,12 +345,21 @@ class _Int8Runner:
     ``policy`` (see :func:`conv_dtype_policy`) may route individual conv
     sites through the bf16 MXU path where XLA's int8 emitter is slow."""
 
-    def __init__(self, qparams, policy=None):
+    def __init__(self, qparams, policy=None, act4=(), act4_mode="packed"):
         self.q = qparams
         self.policy = policy or {}
+        # boundary names (e.g. "layer1_0.out") whose HBM tensor is stored
+        # sub-int8: "packed" = two int4 nibbles per uint8 byte (half the
+        # bytes; consumers unpack in-fusion), "s4" = native jnp.int4
+        self.act4 = frozenset(act4)
+        self.act4_mode = act4_mode
 
     def _conv_q(self, h_q, name, **kw):
         wq = self.q["weights"][name]
+        if h_q.dtype == jnp.int4:
+            # s4 boundary feed: widen in the conv fusion's operand (the
+            # packed 4-bit bytes are what crossed HBM)
+            h_q = h_q.astype(jnp.int8)
         if self.policy.get(name) == "bf16":
             y = _conv(h_q.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
                       prefer=jnp.float32, **kw)
@@ -375,6 +410,13 @@ class _Int8Runner:
         y = y.astype(jnp.float32) * (s_h * ws) + b
         if relu:
             y = jax.nn.relu(y)
+        if f"{name}.out" in self.act4:
+            # intra-block s4 boundary (act4_mode "s4" only — nibble packing
+            # is not plumbed through conv consumers, and it measured a loss
+            # anyway; tools/ab_act4.py)
+            s4 = s_out * (127.0 / 7.0)
+            q4 = jnp.clip(jnp.round(y * (1.0 / s4)), -7, 7)
+            return q4.astype(jnp.int4), s4
         return self._quant(y, s_out), s_out
 
     def conv_f32(self, h_q, s_h, name, stride=1, **kw):
@@ -472,7 +514,24 @@ class _Int8Runner:
 
     def requant(self, y, name):
         s = self.q["act_scales"][name]
+        if name in self.act4:
+            # 4-bit boundary: same calibrated amax, 7 steps instead of 127
+            s4 = s * (127.0 / 7.0)
+            q4 = jnp.clip(jnp.round(y * (1.0 / s4)), -7, 7)
+            if self.act4_mode == "s4":
+                return q4.astype(jnp.int4), s4
+            return pack_nibbles(q4.astype(jnp.int8)), s4
         return self._quant(y, s), s
+
+    def unwrap(self, h_q, s_h):
+        """Undo a sub-int8 boundary encoding at the consumer: uint8 =
+        nibble-packed (unpack fuses into each consumer), int4 = widen.
+        int8 tensors pass through untouched."""
+        if h_q.dtype == jnp.uint8:
+            return unpack_nibbles(h_q), s_h
+        if h_q.dtype != jnp.int8:
+            return h_q.astype(jnp.int8), s_h
+        return h_q, s_h
 
 
 def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
@@ -495,6 +554,11 @@ def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
             h_q = nn.max_pool(h_q, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         elif kind == "block":
             name = info["name"]
+            # a sub-int8 (act4) boundary unpacks here, inside the consumer
+            # fusions (XLA duplicates the cheap unpack into each of conv1 /
+            # downsample / the residual add — the packed bytes are what
+            # crosses HBM)
+            h_q, s_h = runner.unwrap(h_q, s_h)
             if info["kind"] == "bottleneck":
                 m, s_m = runner.qchain(h_q, s_h, f"{name}.conv1")
                 m, s_m = runner.qchain(m, s_m, f"{name}.conv2", stride=info["stride"])
@@ -511,6 +575,7 @@ def _forward(runner, x, num_layers, deconv_filters, deconv_kernels,
             out = jax.nn.relu(y + runner.dequant(r_q, r_s))
             h_q, s_h = runner.requant(out, f"{name}.out")
         elif kind == "deconv":
+            h_q, s_h = runner.unwrap(h_q, s_h)
             k = info["kernel"]
             is_last = info["name"] == f"deconv{len(deconv_filters) - 1}"
             if (jns_head == "phase" and k == 4
@@ -650,13 +715,20 @@ def quantize_pose_resnet(model, variables, calib_batches,
                          subpixel_deconvs: bool = False,
                          jns_head: bool = False,
                          stem_s2d: bool = False,
-                         phase_kernel: bool = False) -> tuple[dict, Any]:
+                         phase_kernel: bool = False,
+                         act4=(), act4_mode: str = "packed") -> tuple[dict, Any]:
     """One-call PTQ: returns (qparams, jitted int8 forward).
 
     ``calib_batches``: iterable of [N, H, W, 3] float inputs (normalised like
     training). The returned forward maps inputs to f32 heatmaps
     ([N, h, w, J], or [J, N, h*w] with ``jns_head`` — the S-minor serving
     tail layout, see _Int8Runner.final_jns).
+
+    ``act4``: boundary names (e.g. ``{"layer1_0.out", "layer1_1.out"}``)
+    whose HBM activation tensor is stored at 4 bits ("packed" nibble-pairs
+    or native "s4") — halves the traffic of the bandwidth-bound trunk
+    boundaries at a quantization-error cost (A/B + PCKh receipts in
+    PERF.md).
     """
     folded, act_scales = calibrate(model, variables, calib_batches)
     qparams = quantize_weights(folded, act_scales, subpixel_deconvs,
@@ -701,7 +773,8 @@ def quantize_pose_resnet(model, variables, calib_batches,
 
     @jax.jit
     def forward(qparams, x):
-        runner = _Int8Runner(qparams, policy)
+        runner = _Int8Runner(qparams, policy, act4=act4,
+                             act4_mode=act4_mode)
         return _forward(runner, x, num_layers, dfs, dks,
                         subpixel_deconvs=subpixel_deconvs, jns_head=jns_head,
                         stem_s2d=stem_s2d, phase_kernel=phase_kernel)

@@ -82,6 +82,7 @@ def build_serving_pipeline(
     flip_pairs=None,
     interpret: bool = False,
     aggre_kernel: bool = True,
+    act4="l12",
 ) -> ServingPipeline:
     """Quantize a MultiViewPose ``variables`` tree into the adopted int8
     serving pipeline.
@@ -138,8 +139,12 @@ def build_serving_pipeline(
         "params": variables["params"]["resnet"],
         "batch_stats": variables["batch_stats"]["resnet"],
     }
+    if act4 == "l12":
+        act4 = tuple(f"layer1_{i}.out" for i in range(3)) + tuple(
+            f"layer2_{i}.out" for i in range(4))
     qparams, qfwd = quantize_pose_resnet(
         resnet, res_vars, calib_batches,
+        act4=act4 or (), act4_mode="s4",
         jns_head="phase",
         phase_kernel="interpret2" if interpret else 2,
         subpixel_deconvs=subpixel_deconvs,

@@ -88,7 +88,7 @@ def make_quant_eval_step(qfwd, cfg, flip_pairs=None,
 
 def build_quant_from_variables(cfg, variables, calib_batches,
                                qat_batches=None, qat_lr: float = 3e-6,
-                               subpixel_deconvs=False):
+                               subpixel_deconvs=False, act4=()):
     """Quantize a MultiViewPose variables tree's resnet trunk; returns
     (qparams, qfwd, aggre_bank or None). Pass ``{"q": qparams, "bank":
     aggre_bank}`` as the eval step's variables argument.
@@ -99,7 +99,10 @@ def build_quant_from_variables(cfg, variables, calib_batches,
 
     ``subpixel_deconvs``: bool or set of deconv names to quantize in the
     per-phase subpixel form (finer per-phase weight scales; the bench's
-    adopted serving config uses {"deconv0"}). PTQ only."""
+    adopted serving config uses {"deconv0"}). PTQ only.
+
+    ``act4``: boundary names stored as native int4 in HBM (s4 mode,
+    tools/ab_act4.py receipts). PTQ only."""
     from posetpu.models import get_pose_net
     from posetpu.models.quant import quantize_pose_resnet
 
@@ -119,6 +122,7 @@ def build_quant_from_variables(cfg, variables, calib_batches,
         qparams, qfwd = quantize_pose_resnet(
             resnet, res_vars, calib_batches,
             subpixel_deconvs=subpixel_deconvs,
+            act4=act4, act4_mode="s4",
         )
 
     bank = None

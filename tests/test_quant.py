@@ -93,6 +93,35 @@ def test_int8_subpixel_variant_matches(rng):
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
 
 
+def test_act4_boundaries_close_to_int8(rng):
+    """Sub-int8 (4-bit) activation boundaries (round-4 VERDICT #2): the
+    nibble-packed and native-s4 encodings are exactly equivalent, and both
+    stay close to the all-int8 forward (same calibrated amax, 7 steps
+    instead of 127 at the marked boundaries only). The adopted serving set
+    is layer1+layer2 block outputs, s4 mode (tools/ab_act4.py: 3,233 ->
+    3,387 f/s same-session; accuracy receipt tools/int8_accuracy.py)."""
+    from posetpu.models.quant import pack_nibbles, unpack_nibbles
+
+    q = jnp.asarray(rng.randint(-8, 8, (2, 3, 5, 8)).astype(np.int8))
+    np.testing.assert_array_equal(np.asarray(unpack_nibbles(pack_nibbles(q))),
+                                  np.asarray(q))
+
+    model, variables = _trained_like_variables(rng)
+    calib = [rng.randn(2, 64, 64, 3).astype(np.float32) for _ in range(2)]
+    act4 = tuple(f"layer1_{i}.out" for i in range(2)) + tuple(
+        f"layer2_{i}.out" for i in range(2))
+    q0, f0 = quantize_pose_resnet(model, variables, calib)
+    q1, f1 = quantize_pose_resnet(model, variables, calib, act4=act4)
+    q2, f2 = quantize_pose_resnet(model, variables, calib, act4=act4,
+                                  act4_mode="s4")
+    x = jnp.asarray(calib[0])
+    base = np.asarray(f0(q0, x))
+    packed = np.asarray(f1(q1, x))
+    s4 = np.asarray(f2(q2, x))
+    np.testing.assert_array_equal(packed, s4)  # same 4-bit grid, same math
+    assert np.corrcoef(base.ravel(), packed.ravel())[0, 1] > 0.98
+
+
 def test_int8_aggregation_matches_float(rng):
     from posetpu.models.multiview import Aggregation
     from posetpu.models.quant import aggregation_int8_apply, quantize_aggregation

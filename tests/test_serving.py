@@ -67,8 +67,13 @@ def test_serving_preds_match_jns_reference(rng):
     variables, bank = _mv_variables(rng)
     calib = [rng.randn(2, 64, 64, 3).astype(np.float32)]
 
+    # act4=() pins the all-int8 boundaries: this test certifies the
+    # packing/routing/decode contracts bit-exactly against the jns oracle,
+    # which the (default, approximate) int4 boundaries would blur —
+    # act4 closeness has its own receipt in test_quant.py
     pipe = build_serving_pipeline(cfg, variables, calib,
-                                  subpixel_deconvs=False, interpret=True)
+                                  subpixel_deconvs=False, interpret=True,
+                                  act4=())
 
     n, v = 2, 4
     images = rng.randint(0, 256, (n, v, 64, 64, 3)).astype(np.uint8)

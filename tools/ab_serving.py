@@ -23,10 +23,15 @@ def main():
     for flip in (False, True):
         # grouped_aggre="pallas" matches the serving default since the
         # round-3 aggregation-kernel adoption (serving.py aggre_kernel=True)
+        # act4="l12"-equivalent boundaries match the serving default since
+        # the round-5 s4 adoption (serving.py act4="l12")
+        act4 = tuple(f"layer1_{i}.out" for i in range(3)) + tuple(
+            f"layer2_{i}.out" for i in range(4))
         pipe, params, x = bench._built_on_cpu(
             bench._build_int8, batch, flip_test=flip,
             subpixel_deconvs={"deconv0"}, phase_kernel=2,
-            grouped_aggre="pallas", stem_s2d="pre", input_layout="hwcn")
+            grouped_aggre="pallas", stem_s2d="pre", input_layout="hwcn",
+            act4=act4, act4_mode="s4")
         fps = bench._measure(pipe, params, x, batch, rtt)
         print(f"flip={flip} ablation-harness: {fps:.1f} 4-view frames/s",
               flush=True)

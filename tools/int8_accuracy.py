@@ -231,6 +231,7 @@ def main():
     for mode, extra in (
         ("float", []),
         ("int8", ["--int8"]),
+        ("int8_act4_l12", ["--int8", "--int8-act4", "l12"]),
         ("int8_qat", ["--int8", "--qat-steps", "60"]),
     ):
         _sys.argv = ["validate", "--cfg", cfg_path, "--state", best[0]] + extra
@@ -239,6 +240,11 @@ def main():
     results["delta"] = (
         None if results.get("float") is None or results.get("int8") is None
         else float(results["float"]) - float(results["int8"])
+    )
+    results["delta_act4_l12"] = (
+        None if results.get("float") is None
+        or results.get("int8_act4_l12") is None
+        else float(results["float"]) - float(results["int8_act4_l12"])
     )
     results["delta_qat"] = (
         None if results.get("float") is None or results.get("int8_qat") is None

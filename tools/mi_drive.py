@@ -49,21 +49,49 @@ def find_artifacts(work: str) -> tuple[str, str, str]:
     return cfg_path, state_dir, pseudo
 
 
+# Per-variant LOSS-section blocks: each is the corresponding reference
+# preset's recipe (experiments/mixed/resnet50/pseudo_label/256_fund5_*.yaml)
+# minus the fund term (A/B'd separately by pipeline_drive --fund).
+VARIANT_BLOCKS = {
+    "plain": "",
+    # 256_fund5_view/joints_*: weights 1e-4, NCE
+    "mi": ("  USE_VIEW_MI_LOSS: true\n"
+           "  VIEW_MI_LOSS_WEIGHT: 0.0001\n"
+           "  VIEW_MI_MEASURE: NCE\n"
+           "  USE_JOINTS_MI_LOSS: true\n"
+           "  JOINTS_MI_LOSS_WEIGHT: 0.0001\n"
+           "  JOINTS_MI_MEASURE: NCE\n"),
+    # 256_fund5_local_mi_joint_*: weight 1e-3, JSD, 500 pos / ratio 20,
+    # SPECIFIC=joint (lib/core/loss.py:136-561)
+    "local": ("  USE_LOCAL_MI_LOSS: true\n"
+              "  LOCAL_MI_LOSS_WEIGHT: 0.001\n"
+              "  MI_MEASURE: JSD\n"
+              "  MI_POSITIVE_NUM: 500\n"
+              "  MI_NEG_POS_RATIO: 20\n"
+              "  SPECIFIC: joint\n"),
+    # 256_fund5_heatmap_*: weight 0.01, JSD (lib/core/loss.py:636-780);
+    # its preset also raises LR_DISCRIMINATOR to 0.01
+    "heatmap": ("  USE_HEATMAP_MI_LOSS: true\n"
+                "  HEATMAP_MI_LOSS_WEIGHT: 0.01\n"
+                "  HEATMAP_MI_MEASURE: JSD\n"),
+    # 256_fund5_domain_*: weight 0.01 (lib/core/function.py:229-257)
+    "domain": ("  USE_DOMAIN_TRANSFER_LOSS: true\n"
+               "  DOMAIN_LOSS_WEIGHT: 0.01\n"),
+}
+
+
 def variant_cfg(base_cfg: str, work: str, name: str, state_dir: str,
-                pseudo: str, epochs: int, mi: bool) -> str:
+                pseudo: str, epochs: int) -> str:
     with open(base_cfg) as f:
         text = f.read()
     text = text.replace("END_EPOCH: ", f"END_EPOCH: {epochs} # was: ")
-    mi_block = ""
-    if mi:
-        # the reference's viewmi/jointsmi recipe: weights 1e-4, NCE measure
-        # (256_fund5_view/joints_* presets); WATCH_GRAD_NORM for the probe
-        mi_block = ("  USE_VIEW_MI_LOSS: true\n"
-                    "  VIEW_MI_LOSS_WEIGHT: 0.0001\n"
-                    "  VIEW_MI_MEASURE: NCE\n"
-                    "  USE_JOINTS_MI_LOSS: true\n"
-                    "  JOINTS_MI_LOSS_WEIGHT: 0.0001\n"
-                    "  JOINTS_MI_MEASURE: NCE\n")
+    mi_block = VARIANT_BLOCKS[name]
+    if name == "heatmap":
+        text = text.replace("LR_DISCRIMINATOR: ",
+                            "LR_DISCRIMINATOR: 0.01 # was: ")
+        if "LR_DISCRIMINATOR" not in text:
+            text = text.replace("TRAIN:\n",
+                                "TRAIN:\n  LR_DISCRIMINATOR: 0.01\n", 1)
     if "LOSS:\n" in text:
         text = text.replace("LOSS:\n", "LOSS:\n" + mi_block, 1)
     else:
@@ -89,6 +117,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir")
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--variants", default="plain,mi",
+                    help="comma list from: " + ",".join(VARIANT_BLOCKS))
     args = ap.parse_args()
     work = os.path.abspath(args.workdir)
     cfg_path, state_dir, pseudo = find_artifacts(work)
@@ -96,9 +126,9 @@ def main() -> int:
 
     os.chdir(work)
     results = {}
-    for name, mi in (("plain", False), ("mi", True)):
+    for name in args.variants.split(","):
         vcfg = variant_cfg(cfg_path, work, name, state_dir, pseudo,
-                           args.epochs, mi)
+                           args.epochs)
         sys.argv = ["train", "--cfg", vcfg]
         from posetpu.cli.train import main as train_main
 
@@ -134,12 +164,14 @@ def main() -> int:
         results[name] = float(perf)
         print(f"variant {name}: validation PCKh@0.5 = {perf:.4f}", flush=True)
 
+    base = results.get("plain")
     print("MI_DRIVE " + json.dumps({
         "epochs": args.epochs,
         "val_pckh": {k: round(v, 4) for k, v in results.items()},
-        "delta_mi_minus_plain": round(results["mi"] - results["plain"], 4),
-        "recipe": "view MI + joints MI, weights 1e-4, NCE "
-                  "(reference 256_*_view/joints presets)",
+        "delta_vs_plain": {k: round(v - base, 4) for k, v in results.items()
+                           if k != "plain" and base is not None},
+        "recipes": {k: VARIANT_BLOCKS[k].replace("  ", " ").replace(
+            chr(10), ";") for k in results},
     }), flush=True)
     return 0
 

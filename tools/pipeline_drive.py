@@ -139,6 +139,15 @@ def main():
                          "against the fund-off baseline")
     ap.add_argument("--fund-weight", type=float, default=5.0,
                     help="LOSS.FUNDAMENTAL_LOSS_WEIGHT (reference fund5)")
+    ap.add_argument("--home-regime", action="store_true",
+                    help="approximate the reference's fund5 home regime "
+                         "(round-4 VERDICT #5): batch 16 (vs the drive's "
+                         "4), MSE:fund = 10:5 (its presets run "
+                         "MSE_LOSS_WEIGHT 10 / FUNDAMENTAL_LOSS_WEIGHT 5), "
+                         "LR 5e-4 (batch-scaled from its 1e-3 @ 32), and "
+                         "TRAIN.WARMUP_EPOCHS 3 to kill the fresh-Adam "
+                         "transient the round-4 mechanism notes blame "
+                         "(PIPELINE_r04.json mechanism[1])")
     args0 = ap.parse_args()
     work = args0.workdir
     os.makedirs(work, exist_ok=True)
@@ -165,6 +174,13 @@ def main():
 
     cfg_path = os.path.join(work, "exp.yaml")
     cfg_text = MIXED_CFG.format(root=root, epochs=args0.epochs)
+    if args0.home_regime:
+        cfg_text = cfg_text.replace("BATCH_SIZE: 4\n", "BATCH_SIZE: 16\n")
+        cfg_text = cfg_text.replace("LR: 0.0003", "LR: 0.0005")
+        cfg_text = cfg_text.replace(
+            "TRAIN:\n", "TRAIN:\n  WARMUP_EPOCHS: 3\n", 1)
+        cfg_text = cfg_text.replace(
+            "LOSS:\n", "LOSS:\n  MSE_LOSS_WEIGHT: 10\n", 1)
     if args0.fund:
         # the loss weight rides in the written cfg (inside the existing
         # LOSS section — a duplicate yaml key would drop it); the ENABLE
