@@ -284,10 +284,10 @@ def _build_serving(batch, flip_test: bool = False):
     """The headline pipeline through the PUBLIC package API
     (posetpu.serving.build_serving_pipeline) — the same adopted config as
     _build_int8(subpixel_deconvs={'deconv0'}, phase_kernel=2,
-    grouped_aggre='pallas', stem_s2d='pre', input_layout='hwcn'), so the
-    bench number measures what a framework user actually gets. _build_int8
-    stays as the ablation harness for tools/ab_*.py (measured identical:
-    tools/ab_serving.py)."""
+    grouped_aggre='pallas', stem_s2d='pre', input_layout='hwcn',
+    act4=l12/s4 — round-5 win #13), so the bench number measures what a
+    framework user actually gets. _build_int8 stays as the ablation harness
+    for tools/ab_*.py (measured identical: tools/ab_serving.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -543,7 +543,12 @@ def _build_train(batch):
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (batch, 4, 256, 256, 3), jnp.float32)
     variables = model.init(key, x[:1], train=True)
-    tx = optax.adam(1e-3)
+    # TRAIN_MU_DTYPE: tools/ab_train_opt.py A/B knob — "mu_bf16" stores
+    # Adam's first moment bf16 (the [12,4096,4096] aggregation bank's f32
+    # p/m/v update is the train step's largest single op at 7.2 ms/iter,
+    # TRACE_TABLE_train.json)
+    mu = jnp.bfloat16 if globals().get("TRAIN_MU_DTYPE") == "mu_bf16" else None
+    tx = optax.adam(1e-3, mu_dtype=mu)
     state = TrainState(variables["params"], variables["batch_stats"],
                        tx.init(variables["params"]), 0)
 

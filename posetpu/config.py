@@ -188,6 +188,13 @@ def _default_config() -> Config:
             LR_FACTOR=0.1,
             LR_STEP=[90, 110],
             LR=0.001,
+            # Adam first-moment storage dtype: "float32" (the reference's
+            # torch.optim.Adam semantics) or "bfloat16". The [12,4096,4096]
+            # aggregation bank's f32 p/m/v update is the train step's
+            # largest single op (7.2 ms/iter at the HBM floor,
+            # TRACE_TABLE_train.json); bf16 mu saves 1.96 ms/step measured
+            # (tools/ab_train_opt.py: 357.6 -> 365.6 groups/s). Opt-in.
+            ADAM_MU_DTYPE="float32",
             # Linear LR warmup over the first N epochs (0 = off, the
             # reference default — lib/utils/utils.py:62-85 has no warmup).
             # Extension for warm-start retrains: a fresh Adam state on a

@@ -37,7 +37,9 @@ def make_optimizer(cfg, steps_per_epoch: int, discriminator: bool = False,
                                                       "WARMUP_EPOCHS", 0)))
 
     if cfg.TRAIN.OPTIMIZER == "adam":
-        tx = optax.adam(schedule)
+        mu_dtype = getattr(cfg.TRAIN, "ADAM_MU_DTYPE", "float32")
+        tx = optax.adam(schedule, mu_dtype=None if mu_dtype == "float32"
+                        else mu_dtype)
     elif cfg.TRAIN.OPTIMIZER == "sgd":
         tx = optax.sgd(schedule, momentum=cfg.TRAIN.MOMENTUM,
                        nesterov=bool(cfg.TRAIN.NESTEROV))

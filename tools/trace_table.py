@@ -133,6 +133,7 @@ def main() -> int:
     with gzip.open(files[0], "rt") as f:
         data = json.load(f)
     agg = {}
+    long_names = {}
     total_loop = None
     for e in data.get("traceEvents", []):
         if e.get("ph") != "X":
@@ -140,7 +141,10 @@ def main() -> int:
         name = e.get("name", "")
         if name.startswith("$") or e.get("pid") == 701:
             continue
-        if name.startswith("jit_"):
+        ln = (e.get("args") or {}).get("long_name", "")
+        if name.startswith("jit_") or (name == "0" and not ln):
+            # whole-module wrapper events ("jit_<fn>", or the bare "0"
+            # module row some profiler versions emit)
             total_loop = max(total_loop or 0, e.get("dur", 0))
             continue
         if name.startswith("while"):
@@ -148,23 +152,56 @@ def main() -> int:
         agg.setdefault(name, [0, 0])
         agg[name][0] += e.get("dur", 0)
         agg[name][1] += 1
+        if ln and name not in long_names:
+            long_names[name] = ln
 
     defs = hlo_defs(txt)
     n_iter = bench.LOOP_INSIDE
     stages: dict = {}
     unmatched = []
+    meta_re = re.compile(
+        r'op_name="([^"]*)"(?:.*?source_file="([^"]*)".*?source_line=(\d+))?')
+    shape_re = re.compile(r"=\s*(\(?\S+)\s+(\w[\w\-]*)\(")
     for name, (dur, cnt) in agg.items():
         key = name
         if key not in defs:
-            # trace sometimes drops the % prefix or appends suffixes
             base = key.split(" ")[0]
             key = base if base in defs else None
-        if key is None:
+        if key is not None:
+            stage = classify(key, *defs[key])
+        elif name in long_names:
+            # classify straight from the trace event's own HLO line — the
+            # lowered-text join can miss fusions when the profiler session
+            # renames them (seen on train-step traces)
+            ln = long_names[name]
+            mm = meta_re.search(ln)
+            op_name = mm.group(1) if mm else ""
+            src = (os.path.basename(mm.group(2)) + ":" + mm.group(3)) \
+                if (mm and mm.group(2)) else ""
+            sm = shape_re.search(ln)
+            op = sm.group(2) if sm else ""
+            # tuple-output fusions (conv bwd emits (f32[C]..., bf16[N,H,W,C]
+            # ...)): classify by the LARGEST shape in the line, not the
+            # first tuple element
+            all_shapes = re.findall(r"\w+\[[\d,]+\]", ln.split("fusion(")[0]
+                                    or ln)
+            def _numel(s):
+                import math
+                return math.prod(int(x) for x in
+                                 re.search(r"\[([\d,]+)\]", s).group(1)
+                                 .split(","))
+            shape = max(all_shapes, key=_numel) if all_shapes else ""
+            stage = classify(name, shape, op, op_name, src)
+            if stage in ("other", "elementwise-misc"):
+                # optimizer updates touch [*]-shaped f32 param tuples with
+                # no spatial dims; the aggregation bank's Adam update is
+                # the dominant example (f32[12,4096,4096] x3 outputs)
+                if "4096,4096" in ln:
+                    stage = "aggre-bank-optimizer"
+        else:
             stage = ("copies/infra" if name.startswith(("copy", "bitcast"))
                      else "untraced")
             unmatched.append((name, dur))
-        else:
-            stage = classify(key, *defs[key])
         stages.setdefault(stage, [0.0, 0])
         stages[stage][0] += dur / 1e3 / n_iter
         stages[stage][1] += cnt
