@@ -496,12 +496,33 @@ def _measure_sustained(infer1, params, batch, n_batches: int = 12):
         for r in inflight:
             float(r)
         total = time.perf_counter() - t0
+
+        # Second epoch over the SAME eval set from a decoded-crop cache
+        # (round-4 weak #5): validation/trainset-inference sets are fixed,
+        # and the reference's DataLoader re-decodes every epoch
+        # (lib/dataset/joints_dataset_compatible.py:139-165). Caching the
+        # packed uint8 crops (25 MB/batch) turns epochs >= 2 into
+        # H2D + infer only — the deployment-realistic steady state for
+        # the pipeline's repeated passes (validate -> pseudo -> retrain).
+        cache = [load(i) for i in range(n_batches)]
+        inflight = []
+        t1 = time.perf_counter()
+        for i in range(n_batches):
+            x = jax.device_put(cache[i], dev)
+            inflight.append(infer1(params, x))
+            if len(inflight) > 2:
+                float(inflight.pop(0))
+        for r in inflight:
+            float(r)
+        total_cached = time.perf_counter() - t1
+
         return {
             "sustained_fps": batch * n_batches / total,
             "host_ms_per_batch": host_s / n_batches * 1e3,
             "h2d_ms_per_batch": put_s / n_batches * 1e3,
             "total_s": total,
             "n_batches": n_batches,
+            "cached_epoch_fps": batch * n_batches / total_cached,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -651,6 +672,9 @@ def main():
                 s["host_ms_per_batch"], 1)
             rec["sustained_h2d_ms_per_batch"] = round(
                 s["h2d_ms_per_batch"], 1)
+            if "cached_epoch_fps" in s:
+                rec["sustained_cached_epoch_fps"] = round(
+                    s["cached_epoch_fps"], 1)
         if "bf16_fused" in results:
             rec["bf16_fused_fps"] = round(results["bf16_fused"], 1)
         print(json.dumps(rec), flush=True)
