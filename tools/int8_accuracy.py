@@ -5,6 +5,16 @@ joint locations), trains the flagship MultiViewPose on the real chip for a
 few epochs via the public CLI, then evaluates the SAME checkpoint through
 cli.validate in float and int8-PTQ modes and reports the PCKh delta.
 
+NOTE (round 5, 2026-08-21): this tool's own multiview_h36m-only fixture
+plateaued at val acc ~0.12 after 21 epochs in a fresh /tmp workdir (round
+2 recorded 1.000 at 25 — regime difference unexplained; batch 2, LR 1e-3,
+no pseudo path until minting). The round-5 accuracy receipts (float /
+int8 / act4) were therefore taken on the pipeline_drive mixed fixture
+instead, which converges to 0.98 in ~15 min — see PERF.md win #13 and
+PIPELINE_r05.json act4_accuracy. Prefer that path for future deltas; this
+tool still works as the one-command variant once its fixture regime is
+debugged.
+
 Run: PYTHONPATH=. python tools/int8_accuracy.py [workdir]
 """
 
