@@ -135,7 +135,17 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
 
     aggre = Aggregation(heatmap_size=64, dtype=jnp.bfloat16)
     aggre_vars = aggre.init(key, jnp.zeros((1, 4, 64, 64, 16)))
-    if grouped_aggre:
+    if grouped_aggre == "pallas_s4":
+        # diag-split 4-bit residual bank: halves the weight stream that
+        # sets the aggregation kernel's floor (int8 carrier here; the
+        # device-side s4 cast is the caller's finalize step — see
+        # posetpu.serving.finalize_device_params)
+        from posetpu.models.quant import quantize_aggregation_grouped_s4
+        from posetpu.ops.pallas.aggregation import aggregation_grouped_pallas_s4
+
+        qagg = quantize_aggregation_grouped_s4(aggre_vars["params"]["weight"])
+        apply_jns = aggregation_grouped_pallas_s4
+    elif grouped_aggre:
         # fused-mean aggregation: one dot_general, pair mean inside the MXU
         from posetpu.models.quant import (
             aggregation_int8_apply_jns_grouped,
@@ -165,7 +175,12 @@ def _build_int8(batch, flip_test: bool = False, tail: str = "phase",
         # packing; every packed consumer is table-driven
         tables = phase_index_tables(
             (64, 64), levels=2 if phase_kernel in (2, "interpret2") else 1)
-        qagg = permute_aggregation_packed(qagg, tables)
+        if "wq4" in qagg:
+            from posetpu.models.quant import permute_aggregation_packed_s4
+
+            qagg = permute_aggregation_packed_s4(qagg, tables)
+        else:
+            qagg = permute_aggregation_packed(qagg, tables)
 
     # serving input is raw uint8 camera frames: the (x/255-mean)/std
     # normalisation + input quantisation fold into one affine on the bytes

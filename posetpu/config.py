@@ -273,13 +273,24 @@ def _default_config() -> Config:
     )
 
 
+def _parse_ratio(expr: str) -> float:
+    """Parse the reference's MEAN/STD string form ('123.675/255', or a plain
+    float literal) without eval(): a '/'-separated chain of float literals,
+    folded left — the only shapes its YAMLs use (lib/core/config.py:237-256)."""
+    parts = expr.split("/")
+    out = float(parts[0])
+    for p in parts[1:]:
+        out /= float(p)
+    return out
+
+
 def _coerce(section: str, key: str, value: Any) -> Any:
     """Replicates reference YAML coercions (lib/core/config.py:237-256):
     DATASET.MEAN/STD entries may be strings like '123.675/255'; NETWORK sizes
     may be scalars or pairs."""
     if section == "DATASET" and key in ("MEAN", "STD") and value:
         return np.array(
-            [eval(x) if isinstance(x, str) else x for x in value]  # noqa: S307
+            [_parse_ratio(x) if isinstance(x, str) else x for x in value]
         )
     if section == "NETWORK" and key in ("HEATMAP_SIZE", "IMAGE_SIZE"):
         if isinstance(value, int):

@@ -1105,3 +1105,94 @@ def aggregation_int8_apply_jns_grouped(qagg, hm):
          * ((qagg["x_scale"] / 3.0) * qagg["w_scale"])).astype(hm.dtype)
     fused = y.reshape(v, j, n, s)  # [V, J, N, S]
     return jnp.moveaxis(fused, 0, 2)  # [J, N, V, S] (major-only permute)
+
+
+def quantize_aggregation_grouped_s4(bank, calib_heatmaps=None):
+    """Diagonal-split sub-int8 variant of
+    :func:`quantize_aggregation_grouped`: the [4, 3, S, S] bank streams from
+    HBM every serving step (201 MB at S=4096 — the aggregation kernel's
+    weight-stream floor, PERF.md), so storing it at 4 bits halves that
+    floor. A STRAIGHT int4 bank would be wrong here: the reference's
+    ChannelWiseFC is identity-initialised (multiview_pose_resnet.py:16-30)
+    and the trained bank is diagonal-dominated, so a per-column amax scale
+    sits at the ~1.0 diagonal and 4-bit steps of ~amax/7 crush the small
+    off-diagonal couplings the fusion exists to learn. Split instead:
+
+      w = diag(d) + R,   d exact in f32 (4*3*S values, epilogue-applied),
+                         R quantized at 4 bits against ITS OWN amax.
+
+    Returns {"wq4" [4,3,S,S] (residual, values in [-7, 7]), "w_scale"
+    [4,1,S] (residual scale), "dv" [4,3,S] f32 (diag pre-folded with
+    x_scale/3), "x_scale"}. "wq4" is an int8 CARRIER: host->TPU transfers
+    of native s4 arrays are broken on this backend (device_put recursion —
+    the round-2 receipt), so the cast to jnp.int4 happens ON-DEVICE after
+    placement (posetpu.serving.finalize_device_params). Every consumer
+    widens via .astype(int8) — a no-op on the carrier — so both dtypes are
+    valid inputs and numerically identical; only HBM traffic differs."""
+    s = int(bank.shape[-1])
+    w = np.asarray(bank, np.float32).reshape(4, 3, s, s)
+    idx = np.arange(s)
+    diag = w[:, :, idx, idx].copy()  # [4, 3, S]
+    r = w.copy()
+    r[:, :, idx, idx] = 0.0
+    s_w = np.maximum(np.abs(r).max(axis=(1, 2), keepdims=True), 1e-8) / 7.0
+    wq4 = np.clip(np.round(r / s_w), -7, 7).astype(np.int8)
+    amax = 1.2
+    if calib_heatmaps is not None:
+        amax = max(float(np.abs(np.asarray(calib_heatmaps)).max()), 1e-6)
+    x_scale = np.float32(amax / 127.0)
+    return {
+        "wq4": jnp.asarray(wq4),  # int8 carrier; cast to s4 on-device
+        "w_scale": jnp.asarray(s_w[:, 0].astype(np.float32)),  # [4,1,S]
+        "dv": jnp.asarray(diag * (x_scale / 3.0)),  # [4,3,S]
+        "x_scale": jnp.float32(x_scale),
+    }
+
+
+def permute_aggregation_packed_s4(qagg, tables):
+    """Offline EXACT re-index of the s4 diag-split bank into the
+    phase-packed S order (the s4 twin of
+    :func:`permute_aggregation_packed`): row+column permute of the residual,
+    column permute of the per-column scale and of the diagonal vector —
+    permuting rows and columns by the same index map keeps diagonal entries
+    on the diagonal, so the split survives the re-index unchanged."""
+    r = np.asarray(tables["rowmajor"])
+    wq4 = np.asarray(qagg["wq4"])[..., r, :][..., :, r]
+    return {
+        "wq4": jnp.asarray(wq4),  # int8 carrier (see quantize_..._s4)
+        "w_scale": jnp.asarray(np.asarray(qagg["w_scale"])[..., r]),
+        "dv": jnp.asarray(np.asarray(qagg["dv"])[..., r]),
+        "x_scale": qagg["x_scale"],
+    }
+
+
+def aggregation_int4_apply_jns_grouped(qagg, hm):
+    """XLA twin of the s4 diag-split aggregation (fallback path and the
+    bit-exactness oracle for the Pallas s4 kernel): hm [J, N, V, S] ->
+    fused [J, N, V, S], ``qagg`` from
+    :func:`quantize_aggregation_grouped_s4`. The residual dot is int32-exact
+    in the MXU (int4 widened to int8 operands); the diagonal term is the
+    per-pair f32 sum dia = sum_p xq[src(t,p)] * dv[t,p] accumulated in pair
+    order, then out = res + dia — the SAME f32 association the kernel
+    uses; the two paths match to 1 ulp (FMA fusion is the only freedom)."""
+    j, n, v, s = hm.shape
+    xq8 = jnp.clip(
+        jnp.round(hm * (1.0 / qagg["x_scale"])), -127, 127
+    ).astype(jnp.int8)
+    src = jnp.asarray(
+        [sv for tgt in range(4) for sv in range(4) if sv != tgt]
+    )
+    g = xq8[:, :, src]  # [J, N, 12, S] int8
+    g = jnp.moveaxis(g.reshape(j, n, 4, 3, s), 2, 0).reshape(4, j * n, 3, s)
+    y = jax.lax.dot_general(
+        g, qagg["wq4"].astype(jnp.int8),
+        dimension_numbers=(((2, 3), (1, 2)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [4, J*N, S]
+    res = y.astype(jnp.float32) * ((qagg["x_scale"] / 3.0) * qagg["w_scale"])
+    dia = g[:, :, 0].astype(jnp.float32) * qagg["dv"][:, None, 0]
+    for p in range(1, 3):
+        dia = dia + g[:, :, p].astype(jnp.float32) * qagg["dv"][:, None, p]
+    out = (res + dia).astype(hm.dtype)
+    fused = out.reshape(v, j, n, s)  # [V, J, N, S]
+    return jnp.moveaxis(fused, 0, 2)  # [J, N, V, S] (major-only permute)

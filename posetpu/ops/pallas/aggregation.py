@@ -248,3 +248,104 @@ def aggregation_grouped_pallas(qagg, hm, *, block_s: int = 256,
         )(xq, qagg["wq"], sv)
     fused = y.reshape(v, j, n, s)
     return jnp.moveaxis(fused, 0, 2).astype(hm.dtype)  # [J, N, V, S]
+
+
+def _agg_kernel_s4(x_hbm, w_ref, sv_ref, dv_ref, out_ref, xs0, xs1, xs2,
+                   sem, *, jn: int, s: int, block_s: int, interpret: bool):
+    """s4 diag-split twin of :func:`_agg_kernel` — the kernel is
+    weight-stream bound, so the [1, 3, S, BS] residual block arriving at
+    4 bits halves the stream that sets its floor. Epilogue adds the exact
+    f32 diagonal term dia = sum_p xs_p[:, block] * dv[t, p, block] in pair
+    order, matching quant.aggregation_int4_apply_jns_grouped to 1 ulp (the
+    multiply+add may fuse into FMA differently across the two programs).
+    dv rides as a full [12, S] plane (a [1, BS] or [3, BS] block would
+    violate the (8, 128) block-tiling rule — same workaround as sv) and
+    the kernel slices row 3*t + p."""
+    t = pl.program_id(0)
+    jb = pl.program_id(1)
+    scratch = (xs0, xs1, xs2)
+
+    @pl.when(jb == 0)
+    def _load_sources():
+        for p in range(3):
+            sv = jnp.where(t > p, p, p + 1)
+            pltpu.make_async_copy(x_hbm.at[sv], scratch[p], sem.at[p]).start()
+        for p in range(3):
+            sv = jnp.where(t > p, p, p + 1)
+            pltpu.make_async_copy(x_hbm.at[sv], scratch[p], sem.at[p]).wait()
+
+    acc = jnp.zeros((jn, out_ref.shape[-1]), jnp.int32)
+    for p in range(3):
+        acc += jax.lax.dot_general(
+            scratch[p][:], w_ref[0, p].astype(jnp.int8),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    res = acc.astype(jnp.float32) * sv_ref[pl.ds(t, 1), :]
+    dia = (scratch[0][:, pl.ds(jb * block_s, block_s)].astype(jnp.float32)
+           * dv_ref[pl.ds(3 * t, 1), :])
+    for p in range(1, 3):
+        dia = dia + (
+            scratch[p][:, pl.ds(jb * block_s, block_s)].astype(jnp.float32)
+            * dv_ref[pl.ds(3 * t + p, 1), :])
+    out_ref[0] = res + dia
+
+
+def aggregation_grouped_pallas_s4(qagg, hm, *, block_s: int = 256,
+                                  interpret: bool = False):
+    """Drop-in twin of quant.aggregation_int4_apply_jns_grouped (s4
+    diag-split bank from quantize_aggregation_grouped_s4) — int-exact dot
+    vs that XLA path, f32 epilogue equal to 1 ulp (FMA fusion). Configs the full-plane grid cannot tile (ragged S,
+    oversized batch) fall back to the XLA twin; the JN-blocked grid is not
+    replicated here because re-streaming the bank is what the s4 encoding
+    exists to avoid (the blocked int8 grid already measured a wash)."""
+    j, n, v, s = hm.shape
+    assert v == 4
+    jn = j * n
+    assert jn > 0
+    bs = block_s if s % block_s == 0 and block_s % 128 == 0 else \
+        _pick_block_s(s, block_s)
+    ok = bs is not None
+    if ok:
+        # weight block at 4 bits = half the int8 bytes; dv plane [12, S] f32
+        pipeline_bytes = 2 * (3 * s * bs // 2) + 2 * (jn * bs * 4) \
+            + 2 * (12 * bs * 4)
+        ok = 3 * jn * s <= _VMEM_BUDGET_BYTES - pipeline_bytes
+    if not ok:
+        from posetpu.models.quant import aggregation_int4_apply_jns_grouped
+
+        return aggregation_int4_apply_jns_grouped(qagg, hm)
+    block_s = bs
+    xq8 = jnp.clip(
+        jnp.round(hm * (1.0 / qagg["x_scale"])), -127, 127
+    ).astype(jnp.int8)
+    xq = jnp.moveaxis(xq8, 2, 0).reshape(v, jn, s)
+    sv = ((qagg["x_scale"] / 3.0) * qagg["w_scale"]).reshape(4, s)
+    dv = qagg["dv"].reshape(12, s)
+
+    y = pl.pallas_call(
+        partial(_agg_kernel_s4, jn=jn, s=s, block_s=block_s,
+                interpret=interpret),
+        grid=(4, s // block_s),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 3, s, block_s), lambda t, jb: (t, 0, 0, jb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block_s), lambda t, jb: (0, jb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, block_s), lambda t, jb: (0, jb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, jn, block_s), lambda t, jb: (t, 0, jb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, jn, s), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((jn, s), jnp.int8),
+            pltpu.VMEM((jn, s), jnp.int8),
+            pltpu.VMEM((jn, s), jnp.int8),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(xq, qagg["wq4"], sv, dv)
+    fused = y.reshape(v, j, n, s)
+    return jnp.moveaxis(fused, 0, 2).astype(hm.dtype)  # [J, N, V, S]

@@ -71,6 +71,25 @@ def pack_hwcn(images: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(x.reshape(h // 2, w // 2, 4 * c, n))
 
 
+def finalize_device_params(params):
+    """Cast the s4 aggregation bank's int8 carrier to native ``jnp.int4``
+    ON the device the params already live on — call once after
+    ``jax.device_put(pipeline.params, device)`` when the pipeline was built
+    with ``agg_w4=True``. The cast must happen device-side because host->TPU
+    transfers of s4 arrays are broken on this backend (device_put recursion,
+    the round-2 receipt); in-graph ``astype`` compiles fine, and a jitted
+    one-off cast leaves a committed device-resident s4 array that jit
+    accepts as a parameter. No-op for int8-bank or no-aggregation params —
+    safe to call unconditionally."""
+    import jax
+
+    qagg = params.get("qagg")
+    if not qagg or "wq4" not in qagg or qagg["wq4"].dtype == jnp.int4:
+        return params
+    qagg = dict(qagg, wq4=jax.jit(lambda w: w.astype(jnp.int4))(qagg["wq4"]))
+    return dict(params, qagg=qagg)
+
+
 def build_serving_pipeline(
     cfg,
     variables,
@@ -83,6 +102,7 @@ def build_serving_pipeline(
     interpret: bool = False,
     aggre_kernel: bool = True,
     act4="l12",
+    agg_w4: bool = False,
 ) -> ServingPipeline:
     """Quantize a MultiViewPose ``variables`` tree into the adopted int8
     serving pipeline.
@@ -155,8 +175,24 @@ def build_serving_pipeline(
     qagg = None
     if bool(cfg.NETWORK.AGGRE) and "aggre_layer" in variables["params"]:
         bank = variables["params"]["aggre_layer"]["weight"]
-        qagg = permute_aggregation_packed(
-            quantize_aggregation_grouped(bank), tables)
+        if agg_w4:
+            # diag-split 4-bit residual bank: halves the aggregation
+            # kernel's HBM weight stream (its floor); the identity-dominated
+            # diagonal stays exact in the f32 epilogue. The bank ships as an
+            # int8 carrier — call finalize_device_params(params) after
+            # moving params to the target device to cast it to native s4
+            # (the traffic win); the carrier itself is numerically
+            # identical, just int8-traffic.
+            from posetpu.models.quant import (
+                permute_aggregation_packed_s4,
+                quantize_aggregation_grouped_s4,
+            )
+
+            qagg = permute_aggregation_packed_s4(
+                quantize_aggregation_grouped_s4(bank), tables)
+        else:
+            qagg = permute_aggregation_packed(
+                quantize_aggregation_grouped(bank), tables)
 
     u8_quant, _ = make_u8_quant(qparams, cfg.DATASET.MEAN, cfg.DATASET.STD)
     pairs = tuple(tuple(p) for p in (flip_pairs or union_flip_pairs()))
@@ -177,7 +213,23 @@ def build_serving_pipeline(
         n = hm.shape[1] // views
         raw = hm.reshape(hm.shape[0], n, views, hm.shape[-1])
         if params["qagg"] is not None:
-            if aggre_kernel:
+            if "wq4" in params["qagg"]:
+                # s4 diag-split bank (agg_w4=True)
+                if aggre_kernel:
+                    from posetpu.ops.pallas.aggregation import (
+                        aggregation_grouped_pallas_s4,
+                    )
+
+                    fused = aggregation_grouped_pallas_s4(
+                        params["qagg"], raw, interpret=interpret)
+                else:
+                    from posetpu.models.quant import (
+                        aggregation_int4_apply_jns_grouped,
+                    )
+
+                    fused = aggregation_int4_apply_jns_grouped(
+                        params["qagg"], raw)
+            elif aggre_kernel:
                 # Pallas weight-streaming kernel: no gathered 3x-duplicated
                 # operand, sources DMAd to VMEM once per target — measured
                 # 3,224 -> 3,289 f/s same-session A/B (tools/ab_agg_kernel),

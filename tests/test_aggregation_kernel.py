@@ -95,3 +95,81 @@ def test_grouped_aggregation_kernel_jn_blocked_bitexact():
     finally:
         agg_mod._VMEM_BUDGET_BYTES = old
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+@pytest.mark.parametrize("jn_shape", [(4, 2), (5, 3)])
+def test_grouped_aggregation_s4_kernel_bitexact(jn_shape):
+    """The s4 diag-split kernel matches its XLA twin to 1 ulp: identical
+    int4->int8 products and int32-exact pair sum; the f32 epilogue keeps
+    the same association but its multiply+add may fuse into FMA
+    differently across the two compiled programs (measured max diff
+    1.8e-7 on outputs of scale ~1.6), so the guard is a tight allclose,
+    not assert_array_equal like the pure-multiply int8 epilogue."""
+    from posetpu.models.quant import (
+        aggregation_int4_apply_jns_grouped,
+        quantize_aggregation_grouped_s4,
+    )
+    from posetpu.ops.pallas.aggregation import aggregation_grouped_pallas_s4
+
+    j, n = jn_shape
+    s = 256
+    rng = np.random.RandomState(3)
+    bank = rng.randn(12, s, s).astype(np.float32) * 0.05
+    for i in range(12):
+        bank[i] += np.eye(s, dtype=np.float32)
+    qagg = quantize_aggregation_grouped_s4(jnp.asarray(bank))
+    hm = jnp.asarray(rng.rand(j, n, 4, s).astype(np.float32))
+
+    ref = aggregation_int4_apply_jns_grouped(qagg, hm)
+    out = aggregation_grouped_pallas_s4(qagg, hm, block_s=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=0, atol=1e-6)
+
+
+def test_grouped_aggregation_s4_close_to_float_and_beats_straight_int4():
+    """Accuracy structure of the diag-split: on an identity-dominated bank
+    (the reference's ChannelWiseFC regime, multiview_pose_resnet.py:16-30)
+    the s4 path must stay as close to the float fusion as the int8 path
+    does, while a STRAIGHT int4 quantization of the same bank (per-column
+    amax pinned at the ~1.0 diagonal, off-diagonals crushed to steps of
+    amax/7) must be measurably worse — the receipt that the split is what
+    makes 4-bit storage usable here."""
+    from posetpu.models.multiview import Aggregation
+    from posetpu.models.quant import (
+        aggregation_int4_apply_jns_grouped,
+        aggregation_int8_apply_jns_grouped,
+        quantize_aggregation_grouped,
+        quantize_aggregation_grouped_s4,
+    )
+
+    s = 8
+    rng = np.random.RandomState(4)
+    bank = rng.uniform(0, 0.1, (12, s * s, s * s)).astype(np.float32)
+    bank += np.eye(s * s, dtype=np.float32)[None]
+    hm = rng.uniform(0, 1, (2, 4, s, s, 3)).astype(np.float32)
+    model = Aggregation(heatmap_size=s)
+    ref = np.asarray(model.apply({"params": {"weight": jnp.asarray(bank)}},
+                                 jnp.asarray(hm)))
+    hm_jns = jnp.moveaxis(jnp.asarray(hm.reshape(2, 4, s * s, 3)), 3, 0)
+    ref_jns = np.moveaxis(ref.reshape(2, 4, s * s, 3), 3, 0)
+
+    q8 = quantize_aggregation_grouped(bank, calib_heatmaps=hm)
+    got8 = np.asarray(aggregation_int8_apply_jns_grouped(q8, hm_jns))
+    q4 = quantize_aggregation_grouped_s4(bank, calib_heatmaps=hm)
+    got4 = np.asarray(aggregation_int4_apply_jns_grouped(q4, hm_jns))
+
+    err8 = np.abs(got8 - ref_jns).max()
+    err4 = np.abs(got4 - ref_jns).max()
+    assert err4 < 2.0 * err8 + 1e-6, (err4, err8)
+
+    # straight int4 on the same bank: residual quantized against the
+    # diagonal-pinned amax
+    w = bank.reshape(4, 3, s * s, s * s)
+    s_w = np.maximum(np.abs(w).max(axis=(1, 2), keepdims=True), 1e-8) / 7.0
+    wq = np.clip(np.round(w / s_w), -7, 7).astype(np.int8)
+    q4s = dict(q8)
+    q4s["wq"] = jnp.asarray(wq)
+    q4s["w_scale"] = jnp.asarray(s_w[:, 0].astype(np.float32))
+    got4s = np.asarray(aggregation_int8_apply_jns_grouped(q4s, hm_jns))
+    err4s = np.abs(got4s - ref_jns).max()
+    assert err4s > 3.0 * err4, (err4s, err4)

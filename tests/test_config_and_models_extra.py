@@ -120,3 +120,21 @@ def test_coco_dataset(coco_root):
     # coco joints partially map: nose/eyes/ears have no union slot
     unmapped = [k for k, v in ds.u2a_mapping.items() if v == "*"]
     assert len(unmapped) == 4  # root, thorax, upper neck, head top
+
+
+def test_mean_std_ratio_strings_parse_without_eval():
+    """The reference's YAMLs write MEAN/STD entries as '123.675/255' strings
+    (lib/core/config.py:237-256); the coercion must parse that arithmetic
+    form — via a literal ratio parser, not eval()."""
+    from posetpu.config import _parse_ratio
+
+    assert _parse_ratio("123.675/255") == 123.675 / 255
+    assert _parse_ratio("0.485") == 0.485
+    assert _parse_ratio("1/2/2") == 0.25
+    with pytest.raises(ValueError):
+        _parse_ratio("__import__('os')")
+
+    cfg = default_config()
+    gen_config  # reference-parity surface exercised elsewhere
+    np.testing.assert_allclose(
+        cfg.DATASET.MEAN, [0.485, 0.456, 0.406], atol=1e-6)

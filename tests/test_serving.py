@@ -160,3 +160,51 @@ def test_serving_premirrored_flip_matches_device_mirror(rng):
     p2, m2 = pipe_pre.infer(pipe_pre.params, x_pre, center, scale, is_h36m)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_serving_agg_w4_close_to_int8_and_finalize(rng):
+    """agg_w4=True (diag-split 4-bit residual bank) through the full public
+    pipeline: predictions stay close to the int8-bank pipeline on an
+    identity-dominated bank, and finalize_device_params casts the int8
+    carrier to native s4 without changing the outputs (the carrier and the
+    s4 array are numerically identical by construction)."""
+    from posetpu.serving import finalize_device_params
+
+    cfg = _small_cfg()
+    variables, bank = _mv_variables(rng)
+    calib = [rng.randn(2, 64, 64, 3).astype(np.float32)]
+
+    pipe8 = build_serving_pipeline(cfg, variables, calib,
+                                   subpixel_deconvs=False, interpret=True,
+                                   act4=())
+    pipe4 = build_serving_pipeline(cfg, variables, calib,
+                                   subpixel_deconvs=False, interpret=True,
+                                   act4=(), agg_w4=True)
+    assert pipe4.params["qagg"]["wq4"].dtype == jnp.int8  # carrier
+
+    n, v = 2, 4
+    images = rng.randint(0, 256, (n, v, 64, 64, 3)).astype(np.uint8)
+    center = jnp.asarray(100 + 50 * rng.rand(n, v, 2).astype(np.float32))
+    scale = jnp.asarray(1 + rng.rand(n, v, 2).astype(np.float32))
+    is_h36m = jnp.asarray([1.0, 0.0], jnp.float32)
+    x = jnp.asarray(pipe8.prepare(images))
+
+    preds8, mv8 = pipe8.infer(pipe8.params, x, center, scale, is_h36m)
+    preds4, mv4 = pipe4.infer(pipe4.params, x, center, scale, is_h36m)
+    # the bank is identity-dominated (random MultiViewPose init bank is
+    # near-identity, models/multiview.py), so the 4-bit residual moves
+    # heatmaps by <1 int8 step and preds by at most a refine sub-pixel
+    assert np.corrcoef(np.asarray(mv8).ravel(),
+                       np.asarray(mv4).ravel())[0, 1] > 0.98
+    assert np.abs(np.asarray(preds8) - np.asarray(preds4)).mean() < 2.0
+
+    fin = finalize_device_params(pipe4.params)
+    assert fin["qagg"]["wq4"].dtype == jnp.int4
+    predsf, mvf = pipe4.infer(fin, x, center, scale, is_h36m)
+    np.testing.assert_allclose(np.asarray(mvf), np.asarray(mv4),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(predsf), np.asarray(preds4),
+                               atol=1e-4)
+    # idempotent + no-op on int8-bank params
+    assert finalize_device_params(fin)["qagg"]["wq4"].dtype == jnp.int4
+    assert finalize_device_params(pipe8.params) is pipe8.params
